@@ -1,0 +1,219 @@
+"""Pluggable KKT linear solvers for the ADMM inner loop.
+
+The reference factorizes the quasi-definite KKT matrix
+
+    K = [[P + sigma*I,  A'        ],
+         [A,            -diag(1/rho)]]
+
+with Eigen LDL^T and back-solves it once per ADMM iteration (C5/C6,
+``src/qp.cpp:160-259``).  On TPU we *redesign* rather than translate:
+
+* ``schur_cholesky`` (default) — eliminate the dual block analytically.
+  From the second KKT row, ``nu = rho .* (A x̃ − rhs2)``, so the system
+  reduces to the SPD *Schur form* ``(P + sigma*I + A' diag(rho) A) x̃ =
+  rhs1 + A' (rho .* rhs2)``, and the auxiliary iterate is simply
+  ``z̃ = A x̃``.  SPD means a pivot-free Cholesky: batched cleanly by vmap,
+  assembled by matmuls on the MXU, and half the system size.  This is the
+  TPU-native equivalent of the LDL^T path, with identical exact-arithmetic
+  iterates.
+
+* ``kkt_ldlt`` — factor the full quasi-definite KKT matrix with our own
+  pivot-free LDL^T (quasi-definiteness guarantees existence).  Matches the
+  reference's linear-algebra structure; used for cross-validation and for
+  problems where forming A' diag(rho) A is undesirable.
+
+* ``cg`` — matrix-free conjugate gradient on the Schur operator.  Parity
+  with the reference's pluggable ``Eigen::ConjugateGradient`` option
+  (``include/unsupported/qp_solver.hpp:135-142``,
+  ``tests/qp_solver_sparse_test.cpp:51-66``).
+
+All solvers support ``refine_steps`` rounds of iterative refinement, which
+recovers near-f64 solve accuracy from f32 factorizations on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["get_linear_solver", "ldlt_factor", "ldlt_solve"]
+
+
+class LinearSolver(NamedTuple):
+    """factor(P, A, sigma, rho_vec) -> factor pytree;
+    solve(factor, P, A, sigma, rho_vec, rhs1, rhs2) -> x_tilde (n,);
+    is_failure(factor) -> bool scalar (factorization broke down)."""
+
+    factor: Callable[..., Any]
+    solve: Callable[..., jnp.ndarray]
+    is_failure: Callable[[Any], jnp.ndarray]
+
+
+# ---------------------------------------------------------------------------
+# Schur-complement Cholesky (default)
+# ---------------------------------------------------------------------------
+
+
+def _schur_matrix(P, A, sigma, rho_vec):
+    n = P.shape[-1]
+    eye = jnp.eye(n, dtype=P.dtype)
+    # A' diag(rho) A via one scaled matmul — MXU-friendly.
+    return P + sigma * eye + A.T @ (rho_vec[:, None] * A)
+
+
+def _schur_factor(P, A, sigma, rho_vec):
+    M = _schur_matrix(P, A, sigma, rho_vec)
+    L = jnp.linalg.cholesky(M)
+    return {"L": L, "M": M}
+
+
+def _cho_solve(L, b):
+    w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+
+
+def _schur_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
+    b = rhs1 + A.T @ (rho_vec * rhs2)
+    x = _cho_solve(factor["L"], b)
+    for _ in range(refine_steps):
+        r = b - factor["M"] @ x
+        x = x + _cho_solve(factor["L"], r)
+    return x
+
+
+def _schur_is_failure(factor):
+    return jnp.any(jnp.isnan(factor["L"]))
+
+
+# ---------------------------------------------------------------------------
+# Full-KKT pivot-free LDL^T
+# ---------------------------------------------------------------------------
+
+
+def ldlt_factor(K: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Pivot-free LDL^T of a symmetric quasi-definite matrix.
+
+    Right-looking rank-1 updates under ``lax.fori_loop`` — sequential in
+    columns but each step is a full-width vector op (VPU).  For large N the
+    blocked Pallas kernel in ``sqp_solver_tpu.ops.ldlt_pallas`` supersedes
+    this.  Returns (unit-lower L, diagonal d).
+    """
+    N = K.shape[0]
+    idx = jnp.arange(N)
+
+    def body(j, carry):
+        W, L, d = carry
+        dj = W[j, j]
+        col = W[:, j] / dj
+        below = idx > j
+        col = jnp.where(below, col, 0.0)
+        W = W - dj * jnp.outer(col, col)
+        L = L.at[:, j].set(col)
+        d = d.at[j].set(dj)
+        return W, L, d
+
+    W0 = K
+    L0 = jnp.zeros_like(K)
+    d0 = jnp.zeros((N,), K.dtype)
+    _, L, d = lax.fori_loop(0, N, body, (W0, L0, d0))
+    return L + jnp.eye(N, dtype=K.dtype), d
+
+
+def ldlt_solve(L: jnp.ndarray, d: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    w = jax.scipy.linalg.solve_triangular(L, b, lower=True, unit_diagonal=True)
+    w = w / d
+    return jax.scipy.linalg.solve_triangular(L.T, w, lower=False, unit_diagonal=True)
+
+
+def _kkt_matrix(P, A, sigma, rho_vec):
+    n = P.shape[-1]
+    m = A.shape[-2]
+    dtype = P.dtype
+    top = jnp.concatenate([P + sigma * jnp.eye(n, dtype=dtype), A.T], axis=1)
+    bot = jnp.concatenate([A, -jnp.diag(1.0 / rho_vec)], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
+
+
+def _kkt_factor(P, A, sigma, rho_vec):
+    K = _kkt_matrix(P, A, sigma, rho_vec)
+    L, d = ldlt_factor(K)
+    return {"L": L, "d": d, "K": K}
+
+
+def _kkt_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
+    n = rhs1.shape[0]
+    b = jnp.concatenate([rhs1, rhs2])
+    s = ldlt_solve(factor["L"], factor["d"], b)
+    for _ in range(refine_steps):
+        r = b - factor["K"] @ s
+        s = s + ldlt_solve(factor["L"], factor["d"], r)
+    return s[:n]
+
+
+def _kkt_is_failure(factor):
+    return jnp.any(jnp.isnan(factor["L"])) | jnp.any(factor["d"] == 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Matrix-free conjugate gradient on the Schur operator
+# ---------------------------------------------------------------------------
+
+
+def _cg_factor(P, A, sigma, rho_vec):
+    # Nothing to factor; keep a dummy leaf so the while_loop carry has a
+    # stable structure.
+    return {"_": jnp.zeros((), P.dtype)}
+
+
+def _cg_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
+    del factor, refine_steps
+    n = rhs1.shape[0]
+
+    def mv(v):
+        return P @ v + sigma * v + A.T @ (rho_vec * (A @ v))
+
+    b = rhs1 + A.T @ (rho_vec * rhs2)
+    eps = jnp.finfo(b.dtype).eps
+    tol2 = (10.0 * eps) ** 2 * jnp.maximum(b @ b, eps)
+
+    def cond(s):
+        x, r, p, rs, k = s
+        return (rs > tol2) & (k < 4 * n)
+
+    def body(s):
+        x, r, p, rs, k = s
+        Ap = mv(p)
+        alpha = rs / (p @ Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        rs_new = r @ r
+        p = r + (rs_new / rs) * p
+        return x, r, p, rs_new, k + 1
+
+    x0 = jnp.zeros_like(b)
+    r0 = b
+    x, *_ = lax.while_loop(cond, body, (x0, r0, r0, r0 @ r0, jnp.int32(0)))
+    return x
+
+
+def _cg_is_failure(factor):
+    return jnp.zeros((), jnp.bool_)
+
+
+_REGISTRY = {
+    "schur_cholesky": LinearSolver(_schur_factor, _schur_solve, _schur_is_failure),
+    "kkt_ldlt": LinearSolver(_kkt_factor, _kkt_solve, _kkt_is_failure),
+    "cg": LinearSolver(_cg_factor, _cg_solve, _cg_is_failure),
+}
+
+
+def get_linear_solver(name: str) -> LinearSolver:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown linear_solver {name!r}; available: {sorted(_REGISTRY)}"
+        ) from None

@@ -1,0 +1,33 @@
+from sqp_solver_tpu.qp.admm import qp_solve
+from sqp_solver_tpu.qp.api import QPSolver
+from sqp_solver_tpu.qp.classify import (
+    EQUALITY_CONSTRAINT,
+    INEQUALITY_CONSTRAINT,
+    LOOSE_BOUNDS,
+    constr_type_init,
+    rho_vec_from_type,
+)
+from sqp_solver_tpu.qp.types import (
+    QPInfo,
+    QPResult,
+    QPSettings,
+    QPState,
+    QPStatus,
+    QuadraticProblem,
+)
+
+__all__ = [
+    "qp_solve",
+    "QPSolver",
+    "QuadraticProblem",
+    "QPSettings",
+    "QPStatus",
+    "QPInfo",
+    "QPState",
+    "QPResult",
+    "constr_type_init",
+    "rho_vec_from_type",
+    "INEQUALITY_CONSTRAINT",
+    "EQUALITY_CONSTRAINT",
+    "LOOSE_BOUNDS",
+]

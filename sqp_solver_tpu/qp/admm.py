@@ -1,0 +1,257 @@
+"""TPU-native ADMM QP solver (OSQP algorithm).
+
+Functional re-design of the reference solver core (C4/C7/C9,
+``src/qp.cpp:11-157``): the whole solve is one traced program —
+``qp_solve(qp, settings, state) -> QPResult`` — built from
+``lax.while_loop`` so it jits, vmaps over problem batches, and shards with
+``shard_map``.
+
+Loop structure (the TPU translation of the reference's factorization
+economy, ``src/qp.cpp:136-142``: factorize at setup + only on rho updates):
+
+    while not done:                        # rho epochs (outer while_loop)
+        factor KKT (only if rho changed)   # lax.cond-gated
+        while not done and epoch < adaptive_rho_interval:   # inner while_loop
+            run `check_termination` ADMM iterations         # lax.fori_loop
+            update residuals, check termination
+        estimate rho, decide re-factorization
+
+Each ADMM iteration is two matvecs + the cached-factor solve + elementwise
+updates with over-relaxation and box projection — exactly the reference's
+iterate math (``src/qp.cpp:84-103, 273-281``) with the simplification
+``z_tilde = A @ x_tilde`` (exact-arithmetic identity of the KKT second row),
+which removes the dual back-substitution entirely.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sqp_solver_tpu.ops.linear_solver import get_linear_solver
+from sqp_solver_tpu.qp.classify import (
+    RHO_MAX,
+    RHO_MIN,
+    constr_type_init,
+    rho_vec_from_type,
+)
+from sqp_solver_tpu.qp.types import (
+    QPInfo,
+    QPResult,
+    QPSettings,
+    QPState,
+    QPStatus,
+    QuadraticProblem,
+)
+
+__all__ = ["qp_solve"]
+
+
+def _linf(v):
+    return jnp.max(jnp.abs(v)) if v.size else jnp.zeros((), v.dtype)
+
+
+class _Carry(NamedTuple):
+    x: jax.Array
+    z: jax.Array
+    y: jax.Array
+    rho: jax.Array  # scalar rho
+    rho_vec: jax.Array
+    factor: dict
+    need_refactor: jax.Array  # bool
+    iter: jax.Array  # int32, iterations executed
+    done: jax.Array  # bool, converged
+    failed: jax.Array  # bool, numerical issues
+    res_prim: jax.Array
+    res_dual: jax.Array
+    max_Ax_z: jax.Array
+    max_Px_ATy_q: jax.Array
+    rho_estimate: jax.Array
+    rho_updates: jax.Array  # int32
+
+
+def qp_solve(
+    qp: QuadraticProblem,
+    settings: QPSettings = QPSettings(),
+    state: Optional[QPState] = None,
+) -> QPResult:
+    """Solve ``min 0.5 x'Px + q'x  s.t.  l <= Ax <= u``.
+
+    Pure and traceable: wrap in ``jax.jit`` (settings are static), ``vmap``
+    over a batched :class:`QuadraticProblem` to solve many instances in
+    lockstep, or call inside other traced code (the SQP loop does).
+
+    ``state`` warm-starts the iterates (functional version of the
+    reference's ``warm_start``; see QPState docs).
+    """
+    settings.validate()
+    P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
+    dtype = P.dtype
+    n, m = qp.n, qp.m
+
+    solver = get_linear_solver(settings.linear_solver)
+    sigma = jnp.asarray(settings.sigma, dtype)
+    alpha = jnp.asarray(settings.alpha, dtype)
+    eps_abs = jnp.asarray(settings.eps_abs, dtype)
+    eps_rel = jnp.asarray(settings.eps_rel, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).eps, dtype)  # DIV_BY_ZERO_REGUL
+
+    ctype = constr_type_init(l, u)
+    rho_vec0 = rho_vec_from_type(ctype, settings.rho, dtype)
+
+    if state is None:
+        state = QPState.zeros(n, m, dtype)
+
+    # Static schedule: inner chunk length and rho-epoch length.
+    interval = settings.adaptive_rho_interval if settings.adaptive_rho else settings.max_iter
+    check = settings.check_termination
+    seg = check if check > 0 else min(interval, settings.max_iter)
+
+    def admm_chunk(factor, rho_vec, x, z, y):
+        rho_inv = 1.0 / rho_vec
+
+        def one_iter(_, xzy):
+            x, z, y = xzy
+            rhs1 = sigma * x - q
+            rhs2 = z - rho_inv * y
+            x_t = solver.solve(
+                factor, P, A, sigma, rho_vec, rhs1, rhs2, settings.refine_steps
+            )
+            z_t = A @ x_t
+            x_n = alpha * x_t + (1.0 - alpha) * x
+            z_pre = alpha * z_t + (1.0 - alpha) * z
+            z_n = jnp.clip(z_pre + rho_inv * y, l, u)  # box projection
+            y_n = y + rho_vec * (z_pre - z_n)
+            return x_n, z_n, y_n
+
+        return lax.fori_loop(0, seg, one_iter, (x, z, y))
+
+    def update_state(x, z, y):
+        """Residuals + norm caches (reference src/qp.cpp:317-331)."""
+        Ax = A @ x
+        Px = P @ x
+        ATy = A.T @ y
+        max_Ax_z = jnp.maximum(_linf(Ax), _linf(z))
+        max_Px_ATy_q = jnp.maximum(_linf(Px), jnp.maximum(_linf(ATy), _linf(q)))
+        res_prim = _linf(Ax - z)
+        res_dual = _linf(Px + q + ATy)
+        return res_prim, res_dual, max_Ax_z, max_Px_ATy_q
+
+    def inner_cond(c: _Carry):
+        epoch_end = (c.iter % interval) == 0
+        return (~c.done) & (~c.failed) & (c.iter < settings.max_iter) & (~epoch_end)
+
+    def inner_body(c: _Carry):
+        x, z, y = admm_chunk(c.factor, c.rho_vec, c.x, c.z, c.y)
+        it = c.iter + seg
+        if check > 0:
+            res_prim, res_dual, max_Ax_z, max_Px_ATy_q = update_state(x, z, y)
+            done = (res_prim <= eps_abs + eps_rel * max_Ax_z) & (
+                res_dual <= eps_abs + eps_rel * max_Px_ATy_q
+            )
+            if settings.verbose:
+                obj = 0.5 * x @ (P @ x) + q @ x
+                jax.debug.print(
+                    "{it:4d}  {obj:.2e}  {rp:.2e}  {rd:.2e}",
+                    it=it,
+                    obj=obj,
+                    rp=res_prim,
+                    rd=res_dual,
+                )
+            c = c._replace(
+                res_prim=res_prim,
+                res_dual=res_dual,
+                max_Ax_z=max_Ax_z,
+                max_Px_ATy_q=max_Px_ATy_q,
+                done=done,
+            )
+        return c._replace(x=x, z=z, y=y, iter=it)
+
+    def outer_cond(c: _Carry):
+        return (~c.done) & (~c.failed) & (c.iter < settings.max_iter)
+
+    def outer_body(c: _Carry):
+        factor = lax.cond(
+            c.need_refactor,
+            lambda: solver.factor(P, A, sigma, c.rho_vec),
+            lambda: c.factor,
+        )
+        failed = c.failed | (c.need_refactor & solver.is_failure(factor))
+        c = c._replace(factor=factor, failed=failed, need_refactor=jnp.zeros((), jnp.bool_))
+
+        # One rho epoch: run inner chunks until done/interval/max_iter.
+        # First step unconditionally (iter % interval == 0 at epoch start).
+        c = lax.cond(c.failed, lambda c: c, lambda c: inner_body(c), c)
+        c = lax.while_loop(inner_cond, inner_body, c)
+
+        if settings.adaptive_rho:
+            if check == 0:
+                res_prim, res_dual, max_Ax_z, max_Px_ATy_q = update_state(c.x, c.z, c.y)
+                c = c._replace(
+                    res_prim=res_prim,
+                    res_dual=res_dual,
+                    max_Ax_z=max_Ax_z,
+                    max_Px_ATy_q=max_Px_ATy_q,
+                )
+            # rho_new = rho * sqrt(normalized primal / dual residual)
+            # (reference src/qp.cpp:334-341), clamped to [RHO_MIN, RHO_MAX].
+            rp = c.res_prim / (c.max_Ax_z + tiny)
+            rd = c.res_dual / (c.max_Px_ATy_q + tiny)
+            new_rho = c.rho * jnp.sqrt(rp / (rd + tiny))
+            new_rho = jnp.clip(new_rho, RHO_MIN, RHO_MAX)
+            tol = settings.adaptive_rho_tolerance
+            changed = (new_rho < c.rho / tol) | (new_rho > c.rho * tol)
+            do_update = changed & (~c.done) & (~c.failed) & (c.iter < settings.max_iter)
+            rho = jnp.where(do_update, new_rho, c.rho)
+            rho_vec = jnp.where(do_update, rho_vec_from_type(ctype, new_rho, dtype), c.rho_vec)
+            c = c._replace(
+                rho=rho,
+                rho_vec=rho_vec,
+                need_refactor=do_update,
+                rho_estimate=new_rho,
+                rho_updates=c.rho_updates + do_update.astype(jnp.int32),
+            )
+        return c
+
+    # Setup factorization (reference src/qp.cpp:37-43) — the one-time
+    # expensive step; the loop re-factorizes only on rho updates.
+    factor0 = solver.factor(P, A, sigma, rho_vec0)
+    zero = jnp.zeros((), dtype)
+    init = _Carry(
+        x=state.x,
+        z=state.z,
+        y=state.y,
+        rho=jnp.asarray(settings.rho, dtype),
+        rho_vec=rho_vec0,
+        factor=factor0,
+        need_refactor=jnp.zeros((), jnp.bool_),
+        iter=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), jnp.bool_),
+        failed=solver.is_failure(factor0),
+        res_prim=zero,
+        res_dual=zero,
+        max_Ax_z=zero,
+        max_Px_ATy_q=zero,
+        rho_estimate=zero,
+        rho_updates=jnp.zeros((), jnp.int32),
+    )
+
+    final = lax.while_loop(outer_cond, outer_body, init)
+
+    status = jnp.where(
+        final.failed,
+        QPStatus.NUMERICAL_ISSUES,
+        jnp.where(final.done, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED),
+    ).astype(jnp.int32)
+    info = QPInfo(
+        status=status,
+        iter=final.iter,
+        rho_updates=final.rho_updates,
+        rho_estimate=final.rho_estimate,
+        res_prim=final.res_prim,
+        res_dual=final.res_dual,
+    )
+    return QPResult(x=final.x, y=final.y, z=final.z, info=info)

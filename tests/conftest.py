@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+The driver benches on real TPU; tests use CPU with
+``--xla_force_host_platform_device_count=8`` as the multi-device fake
+backend (the analog of the reference's single-binary GTest setup, with
+sharding coverage the reference couldn't have).  f64 is enabled so
+conformance tests can hit the 1e-6 agreement bar against the Eigen
+reference goldens.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
