@@ -1,0 +1,21 @@
+from sqp_solver_tpu.sqp.api import SQP
+from sqp_solver_tpu.sqp.bfgs import bfgs_update
+from sqp_solver_tpu.sqp.solver import sqp_solve
+from sqp_solver_tpu.sqp.types import (
+    NonlinearProblem,
+    SQPInfo,
+    SQPResult,
+    SQPSettings,
+    SQPStatus,
+)
+
+__all__ = [
+    "sqp_solve",
+    "SQP",
+    "bfgs_update",
+    "NonlinearProblem",
+    "SQPSettings",
+    "SQPStatus",
+    "SQPInfo",
+    "SQPResult",
+]
