@@ -58,6 +58,8 @@ class _Carry(NamedTuple):
     grad_L: jax.Array
     step_prev: jax.Array
     qp_state: QPState
+    mu: jax.Array  # l1 merit penalty weight (monotone non-decreasing)
+    ls_failed: jax.Array  # bool: previous line search found no acceptable step
     iter: jax.Array  # int32
     done: jax.Array  # bool
     failed: jax.Array  # bool
@@ -141,20 +143,31 @@ def sqp_solve(
         res = qp_solve(qp, settings.qp, state)
         return res
 
-    def line_search(x, p, B, obj, grad_obj, c_val):
-        """Backtracking on the l1 exact-penalty merit function
-        (reference src/sqp.cpp:277-308)."""
+    def merit_weight(mu_prev, p, B, grad_obj, c_val, lam_qp):
+        """l1 penalty weight.  Three lower bounds, kept monotone:
+
+        * the reference's merit-model formula (src/sqp.cpp:287), used only
+          when the violation is numerically meaningful — with constr_l1 at
+          machine eps it degenerates to +/-1e16 garbage;
+        * the exactness bound mu > ||lambda*||_inf (N&W Thm 17.3), estimated
+          from the QP multipliers — this is what stops the merit function
+          from accepting large infeasible steps at feasible iterates;
+        * the previous weight (monotone non-decreasing, standard practice).
+        """
         constr_l1 = constraint_norm(c_val)
         gp = grad_obj @ p
-        # Penalty weight from the merit model (reference src/sqp.cpp:287)
-        # clamped to >= 0: the raw formula goes hugely *negative* at
-        # feasible iterates (constr_l1 ~ eps, descent direction), which
-        # rewards constraint violation and accepts wild steps whenever the
-        # QP step is infeasible by as little as its ADMM tolerance.  Any
-        # mu >= 0 satisfies the N&W (18.36) lower bound in that regime.
-        mu = jnp.maximum(
-            (gp + 0.5 * p @ (B @ p)) / ((1.0 - settings.rho) * constr_l1), 0.0
-        )
+        meaningful = constr_l1 > 1e4 * tiny
+        raw = (gp + 0.5 * p @ (B @ p)) / ((1.0 - settings.rho) * constr_l1)
+        model_mu = jnp.where(meaningful, jnp.maximum(raw, 0.0), 0.0)
+        dual_mu = 1.5 * _linf(lam_qp)
+        return jnp.maximum(mu_prev, jnp.maximum(model_mu, dual_mu))
+
+    def line_search(x, p, mu, obj, grad_obj, c_val):
+        """Backtracking on the l1 exact-penalty merit function
+        (reference src/sqp.cpp:277-308).  Also returns whether any step was
+        accepted — total failure triggers a Hessian reset upstream."""
+        constr_l1 = constraint_norm(c_val)
+        gp = grad_obj @ p
         phi = obj + mu * constr_l1
         D = gp - mu * constr_l1
 
@@ -170,10 +183,10 @@ def sqp_solve(
             alpha = jnp.where(accepted, alpha, settings.tau * alpha)
             return alpha, i + 1, accepted
 
-        alpha, _, _ = lax.while_loop(
+        alpha, _, accepted = lax.while_loop(
             cond, body, (jnp.ones((), dtype), jnp.int32(1), jnp.zeros((), jnp.bool_))
         )
-        return alpha
+        return alpha, accepted
 
     def body(carry: _Carry) -> _Carry:
         it = carry.iter + 1
@@ -181,14 +194,41 @@ def sqp_solve(
         # --- linearize at current iterate (autodiff; reference src/sqp.cpp:158-159)
         obj, grad_obj = f_lin(carry.x)
         c_val, J = c_lin(carry.x)
+        grad_L_here = grad_obj + J.T @ carry.lam
 
-        # --- Lagrangian gradient + damped BFGS (reference src/sqp.cpp:161-170)
-        grad_L = grad_obj + J.T @ carry.lam
+        if settings.termination == "kkt":
+            # Stationarity + feasibility at the *current* iterate, checked
+            # before spending a QP solve on it.
+            kkt_done = (_linf(grad_L_here) <= settings.eps_dual) & (
+                max_violation(c_val) <= settings.eps_prim
+            )
+            return lax.cond(
+                kkt_done,
+                lambda: carry._replace(done=jnp.ones((), jnp.bool_)),
+                lambda: _step(carry, it, obj, grad_obj, c_val, J, grad_L_here),
+            )
+        return _step(carry, it, obj, grad_obj, c_val, J, grad_L_here)
+
+    def _step(carry: _Carry, it, obj, grad_obj, c_val, J, grad_L) -> _Carry:
+        # --- damped BFGS on the Lagrangian gradient change
+        # (reference src/sqp.cpp:161-170)
         delta_grad_L = grad_L - carry.grad_L
+        # Skip the update for negligible steps: near convergence s and y are
+        # rounding noise and repeated rank-2 updates corrupt B (the failure
+        # mode behind the reference's suspended issue #13).
+        tiny_step = _linf(carry.step_prev) <= 1e3 * tiny * (1.0 + _linf(carry.x))
+        # Reset to identity on iteration 1 (reference src/sqp.cpp:165-167) or
+        # after a fully failed line search (curvature information is then
+        # unreliable; fresh start beats wandering with a corrupted B).
+        reset = (it == 1) | carry.ls_failed
         B = lax.cond(
-            it == 1,
+            reset,
             lambda: eye,
-            lambda: bfgs_update(carry.B, carry.step_prev, delta_grad_L),
+            lambda: lax.cond(
+                tiny_step,
+                lambda: carry.B,
+                lambda: bfgs_update(carry.B, carry.step_prev, delta_grad_L),
+            ),
         )
         B = posdef_repair(B)
 
@@ -214,7 +254,8 @@ def sqp_solve(
         p_lam = lam_qp - carry.lam
 
         # --- merit line search + step (reference src/sqp.cpp:78-87)
-        alpha = line_search(carry.x, p, B, obj, grad_obj, c_val)
+        mu = merit_weight(carry.mu, p, B, grad_obj, c_val, lam_qp)
+        alpha, ls_ok = line_search(carry.x, p, mu, obj, grad_obj, c_val)
         x_new = carry.x + alpha * p
         lam_new = carry.lam + alpha * p_lam
         step = alpha * p
@@ -225,13 +266,17 @@ def sqp_solve(
         x_new = jnp.where(failed, carry.x, x_new)
         lam_new = jnp.where(failed, carry.lam, lam_new)
 
-        # --- termination: step norms + constraint violation
-        # (reference src/sqp.cpp:125-131)
-        done = (
-            (prim_norm <= settings.eps_prim)
-            & (dual_norm <= settings.eps_dual)
-            & (max_violation(c(x_new)) <= settings.eps_prim)
-        )
+        if settings.termination == "kkt":
+            # convergence is decided by the pre-step KKT check next iteration
+            done = jnp.zeros((), jnp.bool_)
+        else:
+            # --- termination: step norms + constraint violation
+            # (reference src/sqp.cpp:125-131)
+            done = (
+                (prim_norm <= settings.eps_prim)
+                & (dual_norm <= settings.eps_dual)
+                & (max_violation(c(x_new)) <= settings.eps_prim)
+            )
 
         if settings.iteration_callback is not None:
             jax.debug.callback(settings.iteration_callback, x_new, lam_new, it)
@@ -243,6 +288,8 @@ def sqp_solve(
             grad_L=grad_L,
             step_prev=step,
             qp_state=qp_state_next,
+            mu=mu,
+            ls_failed=~ls_ok,
             iter=it,
             done=done,
             failed=failed,
@@ -265,6 +312,8 @@ def sqp_solve(
         grad_L=jnp.zeros((n,), dtype),
         step_prev=jnp.zeros((n,), dtype),
         qp_state=QPState.zeros(n, m, dtype),
+        mu=zero,
+        ls_failed=jnp.zeros((), jnp.bool_),
         iter=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), jnp.bool_),
         failed=jnp.zeros((), jnp.bool_),

@@ -91,6 +91,13 @@ class SQPSettings:
         acknowledged perf bug — ``src/sqp.cpp:221`` + TODO at ``:273``).
       * ``jacobian_mode`` — ``"fwd"`` (jacfwd, O(n) like the reference's
         forward-mode seeds) or ``"rev"`` (jacrev, better for m >> n).
+      * ``termination`` — ``"step_norm"`` (reference semantics: primal/dual
+        step infinity-norms + constraint violation, ``src/sqp.cpp:125-131``)
+        or ``"kkt"`` (Lagrangian-gradient stationarity + feasibility).  The
+        step-norm test can fire at non-stationary points when the line
+        search collapses alpha, and conversely never fire once iterates
+        oscillate at the optimum; the KKT test is the robust upgrade the
+        north star asks for.
     """
 
     tau: float = 0.5
@@ -115,6 +122,7 @@ class SQPSettings:
     )
     qp_warm_start: bool = True
     jacobian_mode: str = "fwd"
+    termination: str = "step_norm"
     iteration_callback: Optional[Callable] = None
 
     def validate(self) -> None:
@@ -132,6 +140,10 @@ class SQPSettings:
             raise ValueError("max_iter/line_search_max_iter must be > 0")
         if self.jacobian_mode not in ("fwd", "rev"):
             raise ValueError(f"jacobian_mode must be 'fwd' or 'rev', got {self.jacobian_mode}")
+        if self.termination not in ("step_norm", "kkt"):
+            raise ValueError(
+                f"termination must be 'step_norm' or 'kkt', got {self.termination}"
+            )
         self.qp.validate()
 
 
