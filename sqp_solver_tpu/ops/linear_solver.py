@@ -39,16 +39,21 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from sqp_solver_tpu.utils.precision import hdot, hmat
+
 __all__ = ["get_linear_solver", "ldlt_factor", "ldlt_solve"]
 
 
 class LinearSolver(NamedTuple):
     """factor(P, A, sigma, rho_vec) -> factor pytree;
-    solve(factor, P, A, sigma, rho_vec, rhs1, rhs2) -> x_tilde (n,);
+    solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps) -> x_tilde;
+    solve_xz(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps)
+      -> (x_tilde, z_tilde) — the fused per-ADMM-iteration op;
     is_failure(factor) -> bool scalar (factorization broke down)."""
 
     factor: Callable[..., Any]
     solve: Callable[..., jnp.ndarray]
+    solve_xz: Callable[..., Tuple[jnp.ndarray, jnp.ndarray]]
     is_failure: Callable[[Any], jnp.ndarray]
 
 
@@ -61,31 +66,71 @@ def _schur_matrix(P, A, sigma, rho_vec):
     n = P.shape[-1]
     eye = jnp.eye(n, dtype=P.dtype)
     # A' diag(rho) A via one scaled matmul — MXU-friendly.
-    return P + sigma * eye + A.T @ (rho_vec[:, None] * A)
+    return P + sigma * eye + hmat(A.T, rho_vec[:, None] * A)
 
 
 def _schur_factor(P, A, sigma, rho_vec):
-    M = _schur_matrix(P, A, sigma, rho_vec)
-    L = jnp.linalg.cholesky(M)
-    return {"L": L, "M": M}
+    """Cholesky + *explicit inverse* of the Schur matrix.
 
-
-def _cho_solve(L, b):
-    w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+    The per-ADMM-iteration solve is the hot op.  XLA's batched
+    triangular_solve on TPU is a sequential substitution (miserable for
+    thousands of small systems), so we pay one extra n^3 at factorization
+    time — L^-1 by triangular solve against I, then M^-1 = L^-T L^-1 — and
+    every subsequent solve is a single MXU matvec.  Factorizations happen
+    only on rho epochs; solves happen every iteration.  Accuracy loss vs a
+    backsolve is O(kappa * eps) either way; ``refine_steps`` (with the
+    exact M kept alongside) recovers backsolve-grade residuals in f32.
+    """
+    # Cholesky / triangular_solve are XLA HLOs whose *internal* blocked
+    # matmuls follow the ambient precision config — pin it here or f32 on
+    # TPU silently degrades to bf16 passes and ADMM stops converging.
+    with jax.default_matmul_precision("highest"):
+        M = _schur_matrix(P, A, sigma, rho_vec)
+        L = jnp.linalg.cholesky(M)
+        n = M.shape[-1]
+        Li = jax.scipy.linalg.solve_triangular(
+            L, jnp.eye(n, dtype=M.dtype), lower=True
+        )
+        Minv = hmat(Li.T, Li)
+        # One Newton–Schulz step, X <- X(2I - MX): inverse error contracts
+        # quadratically, recovering near-backsolve accuracy in f32 for two
+        # cheap batched matmuls (factorization is per-rho-epoch, amortized).
+        n_eye = jnp.eye(n, dtype=M.dtype)
+        Minv = hmat(Minv, 2.0 * n_eye - hmat(M, Minv))
+        # Fused ADMM iteration operator: with G1 = M^-1 and
+        # G2 = M^-1 A' diag(rho),
+        #   [x_tilde; z_tilde] = [[G1, G2], [A G1, A G2]] @ [rhs1; rhs2]
+        # — the entire per-iteration linear algebra in ONE batched matvec
+        # (per-op dispatch overhead inside lax loops is ~2x the matvec
+        # itself at these sizes, so op count is the metric that matters).
+        G2 = hmat(Minv, A.T * rho_vec[None, :])
+        W_top = jnp.concatenate([Minv, G2], axis=-1)
+        W_bot = jnp.concatenate([hmat(A, Minv), hmat(A, G2)], axis=-1)
+        W = jnp.concatenate([W_top, W_bot], axis=-2)
+    return {"W": W, "Minv": Minv, "M": M, "diag_nan": jnp.any(jnp.isnan(L))}
 
 
 def _schur_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
-    b = rhs1 + A.T @ (rho_vec * rhs2)
-    x = _cho_solve(factor["L"], b)
+    b = rhs1 + hdot(A.T, rho_vec * rhs2)
+    x = hdot(factor["Minv"], b)
     for _ in range(refine_steps):
-        r = b - factor["M"] @ x
-        x = x + _cho_solve(factor["L"], r)
+        r = b - hdot(factor["M"], x)
+        x = x + hdot(factor["Minv"], r)
     return x
 
 
+def _schur_solve_xz(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
+    if refine_steps > 0:
+        # refinement needs the residual against M — take the 2-op path
+        x = _schur_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps)
+        return x, hdot(A, x)
+    n = rhs1.shape[-1]
+    xz = hdot(factor["W"], jnp.concatenate([rhs1, rhs2], axis=-1))
+    return xz[..., :n], xz[..., n:]
+
+
 def _schur_is_failure(factor):
-    return jnp.any(jnp.isnan(factor["L"]))
+    return factor["diag_nan"] | jnp.any(jnp.isnan(factor["Minv"]))
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +193,7 @@ def _kkt_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
     b = jnp.concatenate([rhs1, rhs2])
     s = ldlt_solve(factor["L"], factor["d"], b)
     for _ in range(refine_steps):
-        r = b - factor["K"] @ s
+        r = b - hdot(factor["K"], s)
         s = s + ldlt_solve(factor["L"], factor["d"], r)
     return s[:n]
 
@@ -173,9 +218,9 @@ def _cg_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
     n = rhs1.shape[0]
 
     def mv(v):
-        return P @ v + sigma * v + A.T @ (rho_vec * (A @ v))
+        return hdot(P, v) + sigma * v + hdot(A.T, rho_vec * hdot(A, v))
 
-    b = rhs1 + A.T @ (rho_vec * rhs2)
+    b = rhs1 + hdot(A.T, rho_vec * rhs2)
     eps = jnp.finfo(b.dtype).eps
     tol2 = (10.0 * eps) ** 2 * jnp.maximum(b @ b, eps)
 
@@ -203,10 +248,24 @@ def _cg_is_failure(factor):
     return jnp.zeros((), jnp.bool_)
 
 
+def _fallback_solve_xz(solve):
+    def solve_xz(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
+        x = solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps)
+        return x, hdot(A, x)
+
+    return solve_xz
+
+
 _REGISTRY = {
-    "schur_cholesky": LinearSolver(_schur_factor, _schur_solve, _schur_is_failure),
-    "kkt_ldlt": LinearSolver(_kkt_factor, _kkt_solve, _kkt_is_failure),
-    "cg": LinearSolver(_cg_factor, _cg_solve, _cg_is_failure),
+    "schur_cholesky": LinearSolver(
+        _schur_factor, _schur_solve, _schur_solve_xz, _schur_is_failure
+    ),
+    "kkt_ldlt": LinearSolver(
+        _kkt_factor, _kkt_solve, _fallback_solve_xz(_kkt_solve), _kkt_is_failure
+    ),
+    "cg": LinearSolver(
+        _cg_factor, _cg_solve, _fallback_solve_xz(_cg_solve), _cg_is_failure
+    ),
 }
 
 

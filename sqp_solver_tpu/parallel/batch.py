@@ -1,0 +1,56 @@
+"""Batched solves: vmap over problem instances.
+
+This is the data-parallel core of the framework (SURVEY.md §2: "the core
+batching story") — thousands of independent QPs/NLPs run in lockstep
+through one fused solver.  Per-problem termination comes from JAX's
+batching of ``lax.while_loop`` (converged instances are masked while
+stragglers finish); per-problem status codes isolate failures.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from sqp_solver_tpu.qp.admm import qp_solve
+from sqp_solver_tpu.qp.types import QPResult, QPSettings, QuadraticProblem
+from sqp_solver_tpu.sqp.solver import sqp_solve
+from sqp_solver_tpu.sqp.types import NonlinearProblem, SQPResult, SQPSettings
+
+__all__ = ["qp_solve_batch", "sqp_solve_batch"]
+
+
+def qp_solve_batch(
+    qp: QuadraticProblem,
+    settings: QPSettings = QPSettings(),
+    state=None,
+) -> QPResult:
+    """Solve a batch of QPs (leading batch axis on every problem leaf)."""
+    if state is None:
+        return jax.vmap(lambda p: qp_solve(p, settings))(qp)
+    return jax.vmap(lambda p, s: qp_solve(p, settings, s))(qp, state)
+
+
+def sqp_solve_batch(
+    problem: NonlinearProblem,
+    x0: jax.Array,
+    lam0: Optional[jax.Array] = None,
+    settings: SQPSettings = SQPSettings(),
+) -> SQPResult:
+    """Solve a batch of NLPs.
+
+    ``x0`` has shape (B, n).  The problem's data leaves (l, u, params) are
+    either unbatched (shared across instances) or batched with leading B —
+    detected from ``l`` vs ``x0``'s batch dim.
+    """
+    batched_problem = problem.l.ndim == x0.ndim  # l:(B,m) alongside x0:(B,n)
+    if batched_problem:
+        if lam0 is None:
+            return jax.vmap(lambda p, x: sqp_solve(p, x, None, settings))(problem, x0)
+        return jax.vmap(lambda p, x, lm: sqp_solve(p, x, lm, settings))(
+            problem, x0, lam0
+        )
+    if lam0 is None:
+        return jax.vmap(lambda x: sqp_solve(problem, x, None, settings))(x0)
+    return jax.vmap(lambda x, lm: sqp_solve(problem, x, lm, settings))(x0, lam0)

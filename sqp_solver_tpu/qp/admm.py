@@ -38,6 +38,7 @@ from sqp_solver_tpu.qp.classify import (
     constr_type_init,
     rho_vec_from_type,
 )
+from sqp_solver_tpu.utils.precision import hdot
 from sqp_solver_tpu.qp.types import (
     QPInfo,
     QPResult,
@@ -117,10 +118,9 @@ def qp_solve(
             x, z, y = xzy
             rhs1 = sigma * x - q
             rhs2 = z - rho_inv * y
-            x_t = solver.solve(
+            x_t, z_t = solver.solve_xz(
                 factor, P, A, sigma, rho_vec, rhs1, rhs2, settings.refine_steps
             )
-            z_t = A @ x_t
             x_n = alpha * x_t + (1.0 - alpha) * x
             z_pre = alpha * z_t + (1.0 - alpha) * z
             z_n = jnp.clip(z_pre + rho_inv * y, l, u)  # box projection
@@ -131,9 +131,9 @@ def qp_solve(
 
     def update_state(x, z, y):
         """Residuals + norm caches (reference src/qp.cpp:317-331)."""
-        Ax = A @ x
-        Px = P @ x
-        ATy = A.T @ y
+        Ax = hdot(A, x)
+        Px = hdot(P, x)
+        ATy = hdot(A.T, y)
         max_Ax_z = jnp.maximum(_linf(Ax), _linf(z))
         max_Px_ATy_q = jnp.maximum(_linf(Px), jnp.maximum(_linf(ATy), _linf(q)))
         res_prim = _linf(Ax - z)
@@ -153,7 +153,7 @@ def qp_solve(
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )
             if settings.verbose:
-                obj = 0.5 * x @ (P @ x) + q @ x
+                obj = 0.5 * hdot(x, hdot(P, x)) + hdot(q, x)
                 jax.debug.print(
                     "{it:4d}  {obj:.2e}  {rp:.2e}  {rd:.2e}",
                     it=it,

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from sqp_solver_tpu.utils.precision import hdot
+
 __all__ = ["bfgs_update"]
 
 
@@ -21,9 +23,9 @@ def bfgs_update(B: jnp.ndarray, s: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
     eps = jnp.finfo(dtype).eps
     tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
 
-    Bs = B @ s
-    sBs = s @ Bs
-    sy = s @ y
+    Bs = hdot(B, s)
+    sBs = hdot(s, Bs)
+    sy = hdot(s, y)
 
     damped = sy < 0.2 * sBs
     # Safe denominators: when `damped` holds, sBs - sy > 0.8*sBs >= 0.

@@ -27,6 +27,7 @@ from jax import lax
 from sqp_solver_tpu.qp.admm import qp_solve
 from sqp_solver_tpu.qp.types import QPState, QuadraticProblem
 from sqp_solver_tpu.sqp.bfgs import bfgs_update
+from sqp_solver_tpu.utils.precision import hdot
 from sqp_solver_tpu.sqp.types import (
     NonlinearProblem,
     SQPInfo,
@@ -155,9 +156,9 @@ def sqp_solve(
         * the previous weight (monotone non-decreasing, standard practice).
         """
         constr_l1 = constraint_norm(c_val)
-        gp = grad_obj @ p
+        gp = hdot(grad_obj, p)
         meaningful = constr_l1 > 1e4 * tiny
-        raw = (gp + 0.5 * p @ (B @ p)) / ((1.0 - settings.rho) * constr_l1)
+        raw = (gp + 0.5 * hdot(p, hdot(B, p))) / ((1.0 - settings.rho) * constr_l1)
         model_mu = jnp.where(meaningful, jnp.maximum(raw, 0.0), 0.0)
         dual_mu = 1.5 * _linf(lam_qp)
         return jnp.maximum(mu_prev, jnp.maximum(model_mu, dual_mu))
@@ -167,7 +168,7 @@ def sqp_solve(
         (reference src/sqp.cpp:277-308).  Also returns whether any step was
         accepted — total failure triggers a Hessian reset upstream."""
         constr_l1 = constraint_norm(c_val)
-        gp = grad_obj @ p
+        gp = hdot(grad_obj, p)
         phi = obj + mu * constr_l1
         D = gp - mu * constr_l1
 
@@ -194,7 +195,7 @@ def sqp_solve(
         # --- linearize at current iterate (autodiff; reference src/sqp.cpp:158-159)
         obj, grad_obj = f_lin(carry.x)
         c_val, J = c_lin(carry.x)
-        grad_L_here = grad_obj + J.T @ carry.lam
+        grad_L_here = grad_obj + hdot(J.T, carry.lam)
 
         if settings.termination == "kkt":
             # Stationarity + feasibility at the *current* iterate, checked
@@ -243,7 +244,7 @@ def sqp_solve(
             # x + p (Maratos fix; unconditional when enabled, matching the
             # reference's disabled trigger heuristic — quirk Q6,
             # src/sqp.cpp:244-276).
-            d = c(carry.x + p) - J @ p
+            d = c(carry.x + p) - hdot(J, p)
             soc_res = solve_subproblem(B, grad_obj, J, l - d, u - d, qp_res.state)
             p, lam_qp = soc_res.x, soc_res.y
             qp_iter = qp_iter + soc_res.info.iter
