@@ -44,6 +44,11 @@ from sqp_solver_tpu.utils.precision import hdot, hmat
 __all__ = ["get_linear_solver", "ldlt_factor", "ldlt_solve"]
 
 
+def _mv(M, v):
+    """Batch-polymorphic matvec at HIGHEST precision: (..., i, j) @ (..., j)."""
+    return jnp.einsum("...ij,...j->...i", M, v, precision=lax.Precision.HIGHEST)
+
+
 class LinearSolver(NamedTuple):
     """factor(P, A, sigma, rho_vec) -> factor pytree;
     solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps) -> x_tilde;
@@ -66,7 +71,7 @@ def _schur_matrix(P, A, sigma, rho_vec):
     n = P.shape[-1]
     eye = jnp.eye(n, dtype=P.dtype)
     # A' diag(rho) A via one scaled matmul — MXU-friendly.
-    return P + sigma * eye + hmat(A.T, rho_vec[:, None] * A)
+    return P + sigma * eye + hmat(A.mT, rho_vec[..., :, None] * A)
 
 
 def _schur_factor(P, A, sigma, rho_vec):
@@ -89,9 +94,9 @@ def _schur_factor(P, A, sigma, rho_vec):
         L = jnp.linalg.cholesky(M)
         n = M.shape[-1]
         Li = jax.scipy.linalg.solve_triangular(
-            L, jnp.eye(n, dtype=M.dtype), lower=True
+            L, jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape), lower=True
         )
-        Minv = hmat(Li.T, Li)
+        Minv = hmat(Li.mT, Li)
         # One Newton–Schulz step, X <- X(2I - MX): inverse error contracts
         # quadratically, recovering near-backsolve accuracy in f32 for two
         # cheap batched matmuls (factorization is per-rho-epoch, amortized).
@@ -103,7 +108,7 @@ def _schur_factor(P, A, sigma, rho_vec):
         # — the entire per-iteration linear algebra in ONE batched matvec
         # (per-op dispatch overhead inside lax loops is ~2x the matvec
         # itself at these sizes, so op count is the metric that matters).
-        G2 = hmat(Minv, A.T * rho_vec[None, :])
+        G2 = hmat(Minv, A.mT * rho_vec[..., None, :])
         W_top = jnp.concatenate([Minv, G2], axis=-1)
         W_bot = jnp.concatenate([hmat(A, Minv), hmat(A, G2)], axis=-1)
         W = jnp.concatenate([W_top, W_bot], axis=-2)
@@ -111,11 +116,11 @@ def _schur_factor(P, A, sigma, rho_vec):
 
 
 def _schur_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
-    b = rhs1 + hdot(A.T, rho_vec * rhs2)
-    x = hdot(factor["Minv"], b)
+    b = rhs1 + _mv(A.mT, rho_vec * rhs2)
+    x = _mv(factor["Minv"], b)
     for _ in range(refine_steps):
-        r = b - hdot(factor["M"], x)
-        x = x + hdot(factor["Minv"], r)
+        r = b - _mv(factor["M"], x)
+        x = x + _mv(factor["Minv"], r)
     return x
 
 
@@ -123,9 +128,9 @@ def _schur_solve_xz(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
     if refine_steps > 0:
         # refinement needs the residual against M — take the 2-op path
         x = _schur_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps)
-        return x, hdot(A, x)
+        return x, _mv(A, x)
     n = rhs1.shape[-1]
-    xz = hdot(factor["W"], jnp.concatenate([rhs1, rhs2], axis=-1))
+    xz = _mv(factor["W"], jnp.concatenate([rhs1, rhs2], axis=-1))
     return xz[..., :n], xz[..., n:]
 
 
@@ -251,7 +256,7 @@ def _cg_is_failure(factor):
 def _fallback_solve_xz(solve):
     def solve_xz(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
         x = solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps)
-        return x, hdot(A, x)
+        return x, _mv(A, x)
 
     return solve_xz
 

@@ -25,8 +25,18 @@ def qp_solve_batch(
     qp: QuadraticProblem,
     settings: QPSettings = QPSettings(),
     state=None,
+    impl: str = "vmap",
 ) -> QPResult:
-    """Solve a batch of QPs (leading batch axis on every problem leaf)."""
+    """Solve a batch of QPs (leading batch axis on every problem leaf).
+
+    ``impl="vmap"`` is the semantics-defining path; ``impl="fused"`` is the
+    TPU production path (scalar loop counters, explicit convergence masks,
+    Pallas chunk kernel) — same algorithm, measured-identical optima.
+    """
+    if impl == "fused":
+        from sqp_solver_tpu.qp.admm_batched import qp_solve_fused
+
+        return qp_solve_fused(qp, settings, state)
     if state is None:
         return jax.vmap(lambda p: qp_solve(p, settings))(qp)
     return jax.vmap(lambda p, s: qp_solve(p, settings, s))(qp, state)

@@ -1,0 +1,243 @@
+"""Batch-explicit fused ADMM solver — the TPU production path.
+
+``qp_solve`` + ``vmap`` is the semantics-defining implementation; this
+module re-implements the same algorithm with an *explicit* leading batch
+axis so that:
+
+* the iteration counter is a true scalar, so epoch predicates like
+  ``k % adaptive_rho_interval == 0`` are scalar branches (a vmapped
+  counter turns them into selects that execute both sides every chunk);
+* per-problem convergence is an explicit ``done`` mask (a converged
+  problem's iterates freeze at chunk granularity while stragglers run);
+* the `seg`-iteration inner chunk plus the termination residuals run in
+  ONE Pallas TPU kernel (``ops.admm_kernel``) that keeps each problem
+  tile's iteration operator in VMEM for the whole chunk;
+* the whole solve is a single flat ``lax.while_loop`` (one sync per chunk).
+
+Supported linear solver: ``schur_cholesky`` (the production configuration).
+Semantics match the vmapped solver — same iterate math, same termination
+cadence; tests assert element-wise agreement of the optima.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sqp_solver_tpu.ops.admm_kernel import admm_chunk, pick_tile
+from sqp_solver_tpu.ops.linear_solver import get_linear_solver
+from sqp_solver_tpu.qp.classify import (
+    RHO_MAX,
+    RHO_MIN,
+    constr_type_init,
+    rho_vec_from_type,
+)
+from sqp_solver_tpu.qp.types import (
+    QPInfo,
+    QPResult,
+    QPSettings,
+    QPState,
+    QPStatus,
+    QuadraticProblem,
+)
+
+__all__ = ["qp_solve_fused"]
+
+
+class _Carry(NamedTuple):
+    s: jax.Array  # (B, D) padded state [x; z]
+    yp: jax.Array  # (B, D) padded dual [0; y]
+    rho: jax.Array  # (B,)
+    rho_vec: jax.Array  # (B, m)
+    factor: dict
+    k: jax.Array  # scalar int32 — lockstep iteration counter
+    iter: jax.Array  # (B,) int32 — per-problem iteration count
+    done: jax.Array  # (B,) bool
+    failed: jax.Array  # (B,) bool
+    res_prim: jax.Array  # (B,)
+    res_dual: jax.Array  # (B,)
+    max_Ax_z: jax.Array
+    max_Px_ATy_q: jax.Array
+    rho_estimate: jax.Array
+    rho_updates: jax.Array  # (B,) int32
+
+
+def qp_solve_fused(
+    qp: QuadraticProblem,
+    settings: QPSettings = QPSettings(),
+    state: Optional[QPState] = None,
+    backend: str = "auto",
+) -> QPResult:
+    """Solve a batch of QPs (every leaf of ``qp`` has leading dim B)."""
+    settings.validate()
+    if settings.linear_solver != "schur_cholesky":
+        raise ValueError("qp_solve_fused supports linear_solver='schur_cholesky'")
+    P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
+    dtype = P.dtype
+    B, n = q.shape
+    m = A.shape[-2]
+    D = n + m
+
+    # pad the batch to the pallas tile
+    tile = pick_tile(D)
+    pad = (-B) % tile
+    if pad:
+        padded = QuadraticProblem(
+            *(jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)]) for v in (P, q, A, l, u))
+        )
+        if state is not None:
+            state = jax.tree.map(
+                lambda v: jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)]), state
+            )
+        res = qp_solve_fused(padded, settings, state, backend)
+        return jax.tree.map(lambda v: v[:B], res)
+
+    solver = get_linear_solver("schur_cholesky")
+    sigma = jnp.asarray(settings.sigma, dtype)
+    eps_abs = jnp.asarray(settings.eps_abs, dtype)
+    eps_rel = jnp.asarray(settings.eps_rel, dtype)
+    tiny = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+    ctype = constr_type_init(l, u)
+    rho_vec0 = rho_vec_from_type(ctype, settings.rho, dtype)
+
+    if state is None:
+        x0 = jnp.zeros((B, n), dtype)
+        z0 = jnp.zeros((B, m), dtype)
+        y0 = jnp.zeros((B, m), dtype)
+    else:
+        x0, z0, y0 = state.x, state.z, state.y
+
+    check = settings.check_termination
+    interval0 = settings.adaptive_rho_interval if settings.adaptive_rho else settings.max_iter
+    seg = check if check > 0 else min(interval0, settings.max_iter)
+    # epoch boundaries are detected as k % interval == 0 — round the interval
+    # up to a multiple of the chunk length
+    interval = -(-interval0 // seg) * seg
+
+    # ---- padded constant vectors (see ops/admm_kernel.py docstring) --------
+    zeros_n = jnp.zeros((B, n), dtype)
+    inf = jnp.asarray(jnp.inf, dtype)
+    qv = jnp.concatenate([q, jnp.zeros((B, m), dtype)], axis=-1)
+    scale1 = jnp.concatenate(
+        [jnp.full((B, n), settings.sigma, dtype), jnp.ones((B, m), dtype)], axis=-1
+    )
+    lp = jnp.concatenate([jnp.full((B, n), -inf), l], axis=-1)
+    up = jnp.concatenate([jnp.full((B, n), inf), u], axis=-1)
+    alpha = float(settings.alpha)
+
+    def padded_rho(rho_vec):
+        rhop = jnp.concatenate([zeros_n, rho_vec], axis=-1)
+        rhoip = jnp.concatenate([zeros_n, 1.0 / rho_vec], axis=-1)
+        return rhop, rhoip
+
+    def rho_epoch_update(c: _Carry) -> _Carry:
+        """Adaptive rho estimate + masked re-factorization
+        (reference src/qp.cpp:125-144)."""
+        active = (~c.done) & (~c.failed)
+        rp = c.res_prim / (c.max_Ax_z + tiny)
+        rd = c.res_dual / (c.max_Px_ATy_q + tiny)
+        new_rho = jnp.clip(c.rho * jnp.sqrt(rp / (rd + tiny)), RHO_MIN, RHO_MAX)
+        tol = settings.adaptive_rho_tolerance
+        changed = ((new_rho < c.rho / tol) | (new_rho > c.rho * tol)) & active
+        rho = jnp.where(changed, new_rho, c.rho)
+        rho_vec = jnp.where(
+            changed[:, None], rho_vec_from_type(ctype, new_rho[:, None], dtype), c.rho_vec
+        )
+
+        def refactor():
+            fresh = solver.factor(P, A, sigma, rho_vec)
+            return jax.tree.map(
+                lambda new, old: jnp.where(
+                    changed.reshape((B,) + (1,) * (new.ndim - 1)), new, old
+                )
+                if new.ndim > 0
+                else new,
+                fresh,
+                c.factor,
+            )
+
+        factor = lax.cond(jnp.any(changed), refactor, lambda: c.factor)
+        return c._replace(
+            rho=rho,
+            rho_vec=rho_vec,
+            factor=factor,
+            rho_estimate=jnp.where(active, new_rho, c.rho_estimate),
+            rho_updates=c.rho_updates + changed.astype(jnp.int32),
+        )
+
+    def body(c: _Carry) -> _Carry:
+        rhop, rhoip = padded_rho(c.rho_vec)
+        s_new, yp_new, stats = admm_chunk(
+            c.factor["W"], P, A, qv, scale1, rhoip, rhop, lp, up, c.s, c.yp,
+            alpha=alpha, seg=seg, backend=backend, tile=tile,
+        )
+        active = (~c.done) & (~c.failed)
+        s = jnp.where(active[:, None], s_new, c.s)
+        yp = jnp.where(active[:, None], yp_new, c.yp)
+        k = c.k + seg
+
+        res_prim, res_dual = stats[:, 0], stats[:, 1]
+        max_Ax_z, max_Px_ATy_q = stats[:, 2], stats[:, 3]
+        c = c._replace(
+            s=s,
+            yp=yp,
+            k=k,
+            iter=jnp.where(active, k, c.iter),
+            res_prim=jnp.where(active, res_prim, c.res_prim),
+            res_dual=jnp.where(active, res_dual, c.res_dual),
+            max_Ax_z=jnp.where(active, max_Ax_z, c.max_Ax_z),
+            max_Px_ATy_q=jnp.where(active, max_Px_ATy_q, c.max_Px_ATy_q),
+        )
+        if check > 0:
+            conv = (res_prim <= eps_abs + eps_rel * max_Ax_z) & (
+                res_dual <= eps_abs + eps_rel * max_Px_ATy_q
+            )
+            c = c._replace(done=c.done | (active & conv))
+        if settings.adaptive_rho:
+            c = lax.cond((k % interval) == 0, rho_epoch_update, lambda c: c, c)
+        return c
+
+    def cond(c: _Carry):
+        return jnp.any((~c.done) & (~c.failed)) & (c.k < settings.max_iter)
+
+    factor0 = solver.factor(P, A, sigma, rho_vec0)
+    failed0 = jnp.isnan(factor0["W"]).any(axis=(-1, -2))
+    zeros_b = jnp.zeros((B,), dtype)
+    init = _Carry(
+        s=jnp.concatenate([x0, z0], axis=-1),
+        yp=jnp.concatenate([jnp.zeros((B, n), dtype), y0], axis=-1),
+        rho=jnp.full((B,), settings.rho, dtype),
+        rho_vec=rho_vec0,
+        factor=factor0,
+        k=jnp.zeros((), jnp.int32),
+        iter=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+        failed=failed0,
+        res_prim=zeros_b,
+        res_dual=zeros_b,
+        max_Ax_z=zeros_b,
+        max_Px_ATy_q=zeros_b,
+        rho_estimate=zeros_b,
+        rho_updates=jnp.zeros((B,), jnp.int32),
+    )
+
+    final = lax.while_loop(cond, body, init)
+
+    status = jnp.where(
+        final.failed,
+        QPStatus.NUMERICAL_ISSUES,
+        jnp.where(final.done, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED),
+    ).astype(jnp.int32)
+    info = QPInfo(
+        status=status,
+        iter=final.iter,
+        rho_updates=final.rho_updates,
+        rho_estimate=final.rho_estimate,
+        res_prim=final.res_prim,
+        res_dual=final.res_dual,
+    )
+    return QPResult(x=final.s[:, :n], y=final.yp[:, n:], z=final.s[:, n:], info=info)
