@@ -41,15 +41,23 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["admm_chunk", "admm_chunk_xla", "admm_chunk_pallas", "pick_tile"]
 
 
-def pick_tile(D: int, vmem_budget: int = 4 * 1024 * 1024) -> int:
+def pick_tile(D: int, vmem_budget: int = 12 * 1024 * 1024) -> int:
     """Problems per pallas program: multiple of 8 (f32 sublane tile), capped
-    so the W tile fits the VMEM budget.  Callers pad B to a multiple."""
-    per_problem = D * D * 4
+    so the tile's VMEM footprint fits.  Callers pad B to a multiple.
+
+    Footprint model (empirical, from Mosaic's scoped-vmem accounting): every
+    operand row is lane-padded to 128 and input blocks are double-buffered,
+    so per problem it's roughly 2 buffers * 4 B * 128 lanes * (D rows of W
+    + n rows of P + m rows of A + ~24 rows of vectors/outputs) — with
+    n + m = D that is ~8 * 128 * (2D + 24) bytes."""
+    per_problem = 16 * 128 * (2 * D + 24)
     return max(8, min(64, vmem_budget // max(per_problem, 1) // 8 * 8))
 
 
-def _iteration(W, qv, scale1, rhoip, rhop, lp, up, alpha, s, yp, batched):
-    rhs = scale1 * s - qv - rhoip * yp
+def _iteration(W, qv, scale1, rhoip, rhop, ysel, lp, up, alpha, s, yp, batched):
+    # rhs = [sigma*x - q ; rho.*z - y]: the rho-free fused operator W takes
+    # the well-scaled dual form (see linear_solver._schur_factor)
+    rhs = scale1 * s - qv - ysel * yp
     if batched:
         xz = jnp.einsum("bij,bj->bi", W, rhs, precision=lax.Precision.HIGHEST)
     else:
@@ -79,9 +87,11 @@ def admm_chunk_xla(W, P, A, qv, scale1, rhoip, rhop, lp, up, s, yp, *, alpha, se
     """Fallback chunk: `seg` padded ADMM iterations via lax.scan + stats."""
     n = P.shape[-1]
 
+    ysel = rhoip * rhop  # [0_n; 1_m]
+
     def body(carry, _):
         s, yp = carry
-        return _iteration(W, qv, scale1, rhoip, rhop, lp, up, alpha, s, yp, True), None
+        return _iteration(W, qv, scale1, rhoip, rhop, ysel, lp, up, alpha, s, yp, True), None
 
     (s, yp), _ = lax.scan(body, (s, yp), None, length=seg, unroll=min(unroll, seg))
     stats = _stats(P, A, qv[:, :n], s[:, :n], s[:, n:], yp[:, n:])
@@ -98,10 +108,12 @@ def _chunk_kernel(W_ref, P_ref, A_ref, qv_ref, sc_ref, ri_ref, rp_ref, lp_ref,
     lp = lp_ref[:]
     up = up_ref[:]
 
+    ysel = ri * rp  # [0_n; 1_m], hoisted out of the loop
+
     def body(_, st):
         s, yp = st
         # multiply+reduce on the VPU: (T, D, D) * (T, 1, D) -> sum_j -> (T, D)
-        return _iteration(W, qv, sc, ri, rp, lp, up, alpha, s, yp, False)
+        return _iteration(W, qv, sc, ri, rp, ysel, lp, up, alpha, s, yp, False)
 
     s, yp = lax.fori_loop(0, seg, body, (s_ref[:], yp_ref[:]))
     so_ref[:] = s

@@ -102,13 +102,18 @@ def _schur_factor(P, A, sigma, rho_vec):
         # cheap batched matmuls (factorization is per-rho-epoch, amortized).
         n_eye = jnp.eye(n, dtype=M.dtype)
         Minv = hmat(Minv, 2.0 * n_eye - hmat(M, Minv))
-        # Fused ADMM iteration operator: with G1 = M^-1 and
-        # G2 = M^-1 A' diag(rho),
-        #   [x_tilde; z_tilde] = [[G1, G2], [A G1, A G2]] @ [rhs1; rhs2]
+        # Fused ADMM iteration operator: with G1 = M^-1 and G2 = M^-1 A',
+        #   [x_tilde; z_tilde] = [[G1, G2], [A G1, A G2]] @ [rhs1; rho.*z - y]
         # — the entire per-iteration linear algebra in ONE batched matvec
         # (per-op dispatch overhead inside lax loops is ~2x the matvec
         # itself at these sizes, so op count is the metric that matters).
-        G2 = hmat(Minv, A.mT * rho_vec[..., None, :])
+        # CRITICAL: rho must stay in the *vector* operand.  Folding diag(rho)
+        # into the precomputed operator (G2 = M^-1 A' rho) bakes entries of
+        # magnitude rho (up to RHO_MAX = 1e6 under adaptive rho) into W and
+        # destroys the cancellation structure of z - y/rho — measured 4e-2
+        # final error on the tight Rosenbrock conformance run vs 1e-13 with
+        # the rho-free fusion.
+        G2 = hmat(Minv, A.mT)
         W_top = jnp.concatenate([Minv, G2], axis=-1)
         W_bot = jnp.concatenate([hmat(A, Minv), hmat(A, G2)], axis=-1)
         W = jnp.concatenate([W_top, W_bot], axis=-2)
@@ -130,7 +135,7 @@ def _schur_solve_xz(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
         x = _schur_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps)
         return x, _mv(A, x)
     n = rhs1.shape[-1]
-    xz = _mv(factor["W"], jnp.concatenate([rhs1, rhs2], axis=-1))
+    xz = _mv(factor["W"], jnp.concatenate([rhs1, rho_vec * rhs2], axis=-1))
     return xz[..., :n], xz[..., n:]
 
 

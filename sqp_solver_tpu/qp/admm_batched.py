@@ -122,9 +122,7 @@ def qp_solve_fused(
     zeros_n = jnp.zeros((B, n), dtype)
     inf = jnp.asarray(jnp.inf, dtype)
     qv = jnp.concatenate([q, jnp.zeros((B, m), dtype)], axis=-1)
-    scale1 = jnp.concatenate(
-        [jnp.full((B, n), settings.sigma, dtype), jnp.ones((B, m), dtype)], axis=-1
-    )
+    sigma_n = jnp.full((B, n), settings.sigma, dtype)
     lp = jnp.concatenate([jnp.full((B, n), -inf), l], axis=-1)
     up = jnp.concatenate([jnp.full((B, n), inf), u], axis=-1)
     alpha = float(settings.alpha)
@@ -171,6 +169,8 @@ def qp_solve_fused(
 
     def body(c: _Carry) -> _Carry:
         rhop, rhoip = padded_rho(c.rho_vec)
+        # scale1 = [sigma*1_n ; rho] — the fused operator takes rho.*z - y
+        scale1 = jnp.concatenate([sigma_n, c.rho_vec], axis=-1)
         s_new, yp_new, stats = admm_chunk(
             c.factor["W"], P, A, qv, scale1, rhoip, rhop, lp, up, c.s, c.yp,
             alpha=alpha, seg=seg, backend=backend, tile=tile,

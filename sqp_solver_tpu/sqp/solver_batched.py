@@ -1,0 +1,356 @@
+"""Batch-explicit fused SQP solver — the TPU production path.
+
+Mirrors :mod:`sqp_solver_tpu.qp.admm_batched`: same algorithm as
+``sqp_solve`` + ``vmap`` (Algorithm 18.3 with damped BFGS, posdef repair,
+l1 merit line search, optional SOC), re-expressed with an explicit batch
+axis so that
+
+* the outer iteration counter and line-search trip counter are scalars;
+* per-problem convergence/failure are explicit masks;
+* the QP subproblem runs through :func:`qp_solve_fused` (Pallas chunk
+  kernel, warm-started across outer iterations).
+
+The problem's callables are mapped over the batch with ``vmap`` (they are
+cheap elementwise work); all solver linear algebra is explicitly batched.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sqp_solver_tpu.qp.admm_batched import qp_solve_fused
+from sqp_solver_tpu.qp.types import QPState, QuadraticProblem
+from sqp_solver_tpu.sqp.types import (
+    NonlinearProblem,
+    SQPInfo,
+    SQPResult,
+    SQPSettings,
+    SQPStatus,
+)
+
+__all__ = ["sqp_solve_fused"]
+
+
+def _mv(M, v):
+    return jnp.einsum("...ij,...j->...i", M, v, precision=lax.Precision.HIGHEST)
+
+
+def _vdot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _linf(v):
+    return jnp.max(jnp.abs(v), axis=-1)
+
+
+class _Carry(NamedTuple):
+    x: jax.Array  # (B, n)
+    lam: jax.Array  # (B, m)
+    B: jax.Array  # (B, n, n)
+    grad_L: jax.Array  # (B, n)
+    step_prev: jax.Array  # (B, n)
+    qp_state: QPState  # batched
+    mu: jax.Array  # (B,)
+    ls_failed: jax.Array  # (B,)
+    k: jax.Array  # scalar int32
+    iter: jax.Array  # (B,)
+    done: jax.Array  # (B,)
+    failed: jax.Array  # (B,)
+    qp_iter: jax.Array  # (B,)
+    prim_norm: jax.Array  # (B,)
+    dual_norm: jax.Array  # (B,)
+
+
+def sqp_solve_fused(
+    problem: NonlinearProblem,
+    x0: jax.Array,
+    lam0: Optional[jax.Array] = None,
+    settings: SQPSettings = SQPSettings(),
+) -> SQPResult:
+    """Solve a batch of NLPs: ``x0`` is (B, n); problem data leaves are
+    batched (B, ...) or shared (unbatched)."""
+    settings.validate()
+    if settings.qp.linear_solver != "schur_cholesky":
+        raise ValueError("sqp_solve_fused requires qp.linear_solver='schur_cholesky'")
+    dtype = x0.dtype
+    B, n = x0.shape
+    l, u = problem.l, problem.u
+    batched_problem = l.ndim == 2
+    m = l.shape[-1]
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, n, n))
+    tiny = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+    if lam0 is None:
+        lam0 = jnp.zeros((B, m), dtype)
+
+    # ---- batched problem callables -----------------------------------------
+    params = problem.params
+
+    def per_problem(fn):
+        if fn is None:
+            return None
+        if params is None:
+            return fn
+        return fn  # called as fn(x, p) below
+
+    f_raw = per_problem(problem.objective)
+    c_raw = per_problem(problem.constraint)
+    fl_raw = per_problem(problem.objective_linearized)
+    cl_raw = per_problem(problem.constraint_linearized)
+
+    has_params = params is not None
+
+    def vmap_over(fn, out_lin=False):
+        """vmap a problem callable over the batch."""
+        if has_params:
+            return jax.vmap(fn, in_axes=(0, 0))
+        return jax.vmap(fn, in_axes=(0,))
+
+    def call(fn_v, x):
+        return fn_v(x, params) if has_params else fn_v(x)
+
+    f_b = vmap_over(f_raw)
+    c_b = vmap_over(c_raw)
+    if fl_raw is not None:
+        f_lin_b = vmap_over(fl_raw)
+    else:
+        f_lin_b = vmap_over(
+            (lambda x, p: jax.value_and_grad(f_raw)(x, p))
+            if has_params
+            else jax.value_and_grad(f_raw)
+        )
+    if cl_raw is not None:
+        c_lin_b = vmap_over(cl_raw)
+    else:
+        jac = jax.jacfwd if settings.jacobian_mode == "fwd" else jax.jacrev
+        if has_params:
+            c_lin_b = vmap_over(lambda x, p: (c_raw(x, p), jac(c_raw)(x, p)))
+        else:
+            c_lin_b = vmap_over(lambda x: (c_raw(x), jac(c_raw)(x)))
+
+    def constraint_norm(cv):
+        return (
+            tiny
+            + jnp.sum(jnp.maximum(l - cv, 0.0), axis=-1)
+            + jnp.sum(jnp.maximum(cv - u, 0.0), axis=-1)
+        )
+
+    def max_violation(cv):
+        return jnp.maximum(
+            0.0, jnp.maximum(jnp.max(l - cv, axis=-1), jnp.max(cv - u, axis=-1))
+        )
+
+    def posdef_repair(Bm):
+        bad = jnp.isnan(Bm).any(axis=(-1, -2))
+        Bm = jnp.where(bad[:, None, None], eye, Bm)
+
+        def not_posdef(M):
+            return jnp.isnan(jnp.linalg.cholesky(M)).any(axis=(-1, -2))
+
+        def cond(s):
+            M, tau, j = s
+            return jnp.any(not_posdef(M)) & (j < 40)
+
+        def body(s):
+            M, tau, j = s
+            need = not_posdef(M)
+            M = jnp.where(need[:, None, None], M + tau * eye, M)
+            return M, tau * 10.0, j + 1
+
+        Bm, _, _ = lax.while_loop(
+            cond, body, (Bm, jnp.asarray(1e-3, dtype), jnp.int32(0))
+        )
+        return Bm
+
+    def bfgs_update_batched(Bm, s, y):
+        eps = jnp.finfo(dtype).eps
+        tiny_ = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        Bs = _mv(Bm, s)
+        sBs = _vdot(s, Bs)
+        sy = _vdot(s, y)
+        damped = sy < 0.2 * sBs
+        theta = (0.8 * sBs / jnp.maximum(sBs - sy, tiny_))[:, None]
+        r = jnp.where(damped[:, None], theta * y + (1.0 - theta) * Bs, y)
+        sr = jnp.where(damped, theta[:, 0] * sy + (1.0 - theta[:, 0]) * sBs, sy)
+        B_new = (
+            Bm
+            - Bs[:, :, None] * Bs[:, None, :] / jnp.maximum(sBs, tiny_)[:, None, None]
+            + r[:, :, None] * r[:, None, :] / jnp.maximum(sr, tiny_)[:, None, None]
+        )
+        return jnp.where((sr < eps)[:, None, None], Bm, B_new)
+
+    def solve_subproblem(Bm, grad_obj, J, lqp, uqp, qp_state):
+        qp = QuadraticProblem(P=Bm, q=grad_obj, A=J, l=lqp, u=uqp)
+        state = qp_state if settings.qp_warm_start else None
+        return qp_solve_fused(qp, settings.qp, state)
+
+    def merit_weight(mu_prev, p, Bm, grad_obj, c_val, lam_qp):
+        constr_l1 = constraint_norm(c_val)
+        gp = _vdot(grad_obj, p)
+        meaningful = constr_l1 > 1e4 * tiny
+        raw = (gp + 0.5 * _vdot(p, _mv(Bm, p))) / ((1.0 - settings.rho) * constr_l1)
+        model_mu = jnp.where(meaningful, jnp.maximum(raw, 0.0), 0.0)
+        dual_mu = 1.5 * _linf(lam_qp)
+        return jnp.maximum(mu_prev, jnp.maximum(model_mu, dual_mu))
+
+    def line_search(x, p, mu, obj, grad_obj, c_val):
+        constr_l1 = constraint_norm(c_val)
+        gp = _vdot(grad_obj, p)
+        phi = obj + mu * constr_l1
+        D = gp - mu * constr_l1
+
+        def cond(s):
+            alpha, i, accepted = s
+            return jnp.any(~accepted) & (i < settings.line_search_max_iter)
+
+        def body(s):
+            alpha, i, accepted = s
+            x_step = x + alpha[:, None] * p
+            phi_step = f_b(x_step, params) if has_params else f_b(x_step)
+            cv = c_b(x_step, params) if has_params else c_b(x_step)
+            phi_step = phi_step + mu * constraint_norm(cv)
+            ok = phi_step <= phi + alpha * settings.eta * D
+            accepted = accepted | ok
+            alpha = jnp.where(accepted, alpha, settings.tau * alpha)
+            return alpha, i + 1, accepted
+
+        alpha, _, accepted = lax.while_loop(
+            cond,
+            body,
+            (jnp.ones((B,), dtype), jnp.int32(1), jnp.zeros((B,), jnp.bool_)),
+        )
+        return alpha, accepted
+
+    def body(c: _Carry) -> _Carry:
+        k = c.k + 1
+        active = (~c.done) & (~c.failed)
+
+        obj, grad_obj = f_lin_b(c.x, params) if has_params else f_lin_b(c.x)
+        c_val, J = c_lin_b(c.x, params) if has_params else c_lin_b(c.x)
+        grad_L_here = grad_obj + _mv(J.mT, c.lam)
+
+        if settings.termination == "kkt":
+            kkt_ok = (_linf(grad_L_here) <= settings.eps_dual) & (
+                max_violation(c_val) <= settings.eps_prim
+            )
+            newly_done = active & kkt_ok
+            c = c._replace(done=c.done | newly_done)
+            active = active & ~newly_done
+
+        # damped BFGS with reset on iteration 1 / failed line search
+        delta_grad_L = grad_L_here - c.grad_L
+        tiny_step = _linf(c.step_prev) <= 1e3 * tiny * (1.0 + _linf(c.x))
+        reset = (k == 1) | c.ls_failed
+        upd = bfgs_update_batched(c.B, c.step_prev, delta_grad_L)
+        Bm = jnp.where(
+            reset[:, None, None] if reset.ndim else reset,
+            eye,
+            jnp.where(tiny_step[:, None, None], c.B, upd),
+        )
+        Bm = posdef_repair(Bm)
+
+        qp_res = solve_subproblem(Bm, grad_obj, J, l - c_val, u - c_val, c.qp_state)
+        p, lam_qp = qp_res.x, qp_res.y
+        qp_iter = c.qp_iter + jnp.where(active, qp_res.info.iter, 0)
+
+        if settings.second_order_correction:
+            x_p = c.x + p
+            cv_p = c_b(x_p, params) if has_params else c_b(x_p)
+            d = cv_p - _mv(J, p)
+            soc = solve_subproblem(Bm, grad_obj, J, l - d, u - d, qp_res.state)
+            p, lam_qp = soc.x, soc.y
+            qp_iter = qp_iter + jnp.where(active, soc.info.iter, 0)
+            qp_state_next = soc.state
+        else:
+            qp_state_next = qp_res.state
+
+        p_lam = lam_qp - c.lam
+        mu = jnp.where(active, merit_weight(c.mu, p, Bm, grad_obj, c_val, lam_qp), c.mu)
+        alpha, ls_ok = line_search(c.x, p, mu, obj, grad_obj, c_val)
+
+        x_new = c.x + alpha[:, None] * p
+        lam_new = c.lam + alpha[:, None] * p_lam
+        step = alpha[:, None] * p
+        prim_norm = alpha * _linf(p)
+        dual_norm = alpha * _linf(p_lam)
+
+        bad = jnp.isnan(x_new).any(-1) | jnp.isnan(lam_new).any(-1)
+        x_new = jnp.where((active & ~bad)[:, None], x_new, c.x)
+        lam_new = jnp.where((active & ~bad)[:, None], lam_new, c.lam)
+
+        if settings.termination == "kkt":
+            done = c.done
+        else:
+            cv_new = c_b(x_new, params) if has_params else c_b(x_new)
+            conv = (
+                (prim_norm <= settings.eps_prim)
+                & (dual_norm <= settings.eps_dual)
+                & (max_violation(cv_new) <= settings.eps_prim)
+            )
+            done = c.done | (active & conv)
+
+        sel = lambda newv, oldv: jnp.where(
+            active.reshape((B,) + (1,) * (newv.ndim - 1)), newv, oldv
+        )
+        return _Carry(
+            x=x_new,
+            lam=lam_new,
+            B=sel(Bm, c.B),
+            grad_L=sel(grad_L_here, c.grad_L),
+            step_prev=sel(step, c.step_prev),
+            qp_state=jax.tree.map(sel, qp_state_next, c.qp_state),
+            mu=mu,
+            ls_failed=sel(~ls_ok, c.ls_failed),
+            k=k,
+            iter=jnp.where(active, k, c.iter),
+            done=done,
+            failed=c.failed | (active & bad),
+            qp_iter=qp_iter,
+            prim_norm=sel(prim_norm, c.prim_norm),
+            dual_norm=sel(dual_norm, c.dual_norm),
+        )
+
+    def cond(c: _Carry):
+        return jnp.any((~c.done) & (~c.failed)) & (c.k < settings.max_iter)
+
+    zero_b = jnp.zeros((B,), dtype)
+    init = _Carry(
+        x=x0,
+        lam=lam0,
+        B=eye,
+        grad_L=jnp.zeros((B, n), dtype),
+        step_prev=jnp.zeros((B, n), dtype),
+        qp_state=QPState(
+            x=jnp.zeros((B, n), dtype),
+            z=jnp.zeros((B, m), dtype),
+            y=jnp.zeros((B, m), dtype),
+        ),
+        mu=zero_b,
+        ls_failed=jnp.zeros((B,), jnp.bool_),
+        k=jnp.zeros((), jnp.int32),
+        iter=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+        failed=jnp.zeros((B,), jnp.bool_),
+        qp_iter=jnp.zeros((B,), jnp.int32),
+        prim_norm=zero_b,
+        dual_norm=zero_b,
+    )
+    final = lax.while_loop(cond, body, init)
+
+    status = jnp.where(
+        final.failed,
+        SQPStatus.NUMERICAL_ISSUES,
+        jnp.where(final.done, SQPStatus.SOLVED, SQPStatus.MAX_ITER_EXCEEDED),
+    ).astype(jnp.int32)
+    info = SQPInfo(
+        status=status,
+        iter=final.iter,
+        qp_solver_iter=final.qp_iter,
+        primal_step_norm=final.prim_norm,
+        dual_step_norm=final.dual_norm,
+    )
+    return SQPResult(x=final.x, lam=final.lam, info=info)

@@ -82,8 +82,8 @@ class TestPallasKernelInterpret:
         s2, y2, st2 = admm_chunk_pallas(
             W, P, A, qv, sc, ri, rp, lp, up, s, yp, interpret=True, tile=8, **a
         )
-        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5, rtol=1e-5)
-        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-4, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-4, rtol=1e-4)
         np.testing.assert_allclose(np.asarray(st1), np.asarray(st2), atol=1e-4, rtol=1e-4)
 
     def test_fused_solver_with_interpret_kernel(self):

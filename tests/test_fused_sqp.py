@@ -1,0 +1,83 @@
+"""Fused batch-explicit SQP solver vs the vmapped reference implementation."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch, sphere_cap_solution
+from sqp_solver_tpu.models.problems import simple_nlp
+from sqp_solver_tpu.parallel.batch import sqp_solve_batch
+from sqp_solver_tpu.qp import QPSettings
+from sqp_solver_tpu.sqp import SQPSettings, SQPStatus
+from sqp_solver_tpu.sqp.solver_batched import sqp_solve_fused
+
+SETTINGS = SQPSettings(
+    max_iter=30,
+    eps_prim=1e-6,
+    eps_dual=1e-6,
+    termination="kkt",
+    qp=QPSettings(
+        alpha=1.6,
+        eps_abs=1e-7,
+        eps_rel=1e-7,
+        max_iter=1000,
+        check_termination=25,
+        warm_start=True,
+        adaptive_rho=True,
+        adaptive_rho_interval=50,
+    ),
+)
+
+
+class TestFusedSQP:
+    def test_sphere_cap_matches_closed_form(self):
+        problem, x0 = sphere_cap_nlp_batch(32, 8, dtype=jnp.float64)
+        res = jax.jit(lambda p, x: sqp_solve_fused(p, x, None, SETTINGS))(problem, x0)
+        st = np.asarray(res.info.status)
+        # the family includes degenerate r ~ sqrt(n) instances where the
+        # sphere and box constraints are simultaneously near-active; the
+        # vmapped reference path solves the same ~2/3 subset
+        assert np.mean(st == SQPStatus.SOLVED) > 0.6
+        x_star = sphere_cap_solution(problem)
+        ok = st == SQPStatus.SOLVED
+        err = np.abs(np.asarray(res.x) - x_star)[ok]
+        assert err.max() < 1e-5, err.max()
+        # unsolved ones must still be close (they stall, not diverge)
+        assert np.abs(np.asarray(res.x) - x_star)[~ok].max() < 1e-2
+
+    def test_matches_vmap_path(self):
+        problem, x0 = sphere_cap_nlp_batch(16, 6, seed=2, dtype=jnp.float64)
+        ref = sqp_solve_batch(problem, x0, None, SETTINGS)
+        out = sqp_solve_fused(problem, x0, None, SETTINGS)
+        ok = (np.asarray(ref.info.status) == 0) & (np.asarray(out.info.status) == 0)
+        assert ok.mean() >= 0.7
+        np.testing.assert_allclose(
+            np.asarray(out.x)[ok], np.asarray(ref.x)[ok], atol=1e-6
+        )
+
+    def test_shared_problem_batched_x0(self):
+        prob = simple_nlp()
+        x0s = jnp.array([[1.2, 0.1], [0.5, 0.5], [2.0, 1.0], [1.0, 1.5]])
+        settings = dataclasses.replace(SETTINGS, eps_prim=1e-5, eps_dual=1e-5)
+        res = sqp_solve_fused(prob, x0s, None, settings)
+        assert np.all(np.asarray(res.info.status) == SQPStatus.SOLVED)
+        np.testing.assert_allclose(
+            np.asarray(res.x), np.tile([1.0, 1.0], (4, 1)), atol=1e-5
+        )
+
+    def test_soc_and_step_norm_modes(self):
+        prob = simple_nlp()
+        x0s = jnp.array([[1.2, 0.1], [0.5, 0.5]])
+        for term in ("kkt", "step_norm"):
+            s = dataclasses.replace(
+                SETTINGS, second_order_correction=True, termination=term,
+                eps_prim=1e-4 if term == "step_norm" else 1e-6,
+                eps_dual=1e-4 if term == "step_norm" else 1e-6,
+            )
+            res = sqp_solve_fused(prob, x0s, None, s)
+            np.testing.assert_allclose(
+                np.asarray(res.x), np.tile([1.0, 1.0], (2, 1)), atol=1e-2
+            )
