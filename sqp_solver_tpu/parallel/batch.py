@@ -47,13 +47,21 @@ def sqp_solve_batch(
     x0: jax.Array,
     lam0: Optional[jax.Array] = None,
     settings: SQPSettings = SQPSettings(),
+    impl: str = "vmap",
 ) -> SQPResult:
     """Solve a batch of NLPs.
 
     ``x0`` has shape (B, n).  The problem's data leaves (l, u, params) are
     either unbatched (shared across instances) or batched with leading B —
     detected from ``l`` vs ``x0``'s batch dim.
+
+    ``impl="vmap"`` is the semantics-defining path; ``impl="fused"`` the
+    TPU production path (see sqp.solver_batched).
     """
+    if impl == "fused":
+        from sqp_solver_tpu.sqp.solver_batched import sqp_solve_fused
+
+        return sqp_solve_fused(problem, x0, lam0, settings)
     batched_problem = problem.l.ndim == x0.ndim  # l:(B,m) alongside x0:(B,n)
     if batched_problem:
         if lam0 is None:

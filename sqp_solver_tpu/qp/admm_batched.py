@@ -225,7 +225,13 @@ def qp_solve_fused(
         rho_updates=jnp.zeros((B,), jnp.int32),
     )
 
-    final = lax.while_loop(cond, body, init)
+    if settings.schedule == "fixed":
+        # static fori over ceil(max_iter/seg) chunks: no dynamic loop
+        # conditions at all (masks preserve per-problem semantics)
+        n_chunks = -(-settings.max_iter // seg)
+        final = lax.fori_loop(0, n_chunks, lambda i, c: body(c), init)
+    else:
+        final = lax.while_loop(cond, body, init)
 
     status = jnp.where(
         final.failed,

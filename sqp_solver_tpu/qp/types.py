@@ -82,6 +82,14 @@ class QPSettings:
         ``include/unsupported/qp_solver.hpp:135``).
       * ``refine_steps``: iterative-refinement sweeps per linear solve
         (meets tight accuracy bars in f32 on the MXU).
+      * ``schedule``: ``"early_exit"`` (dynamic while_loop; stops as soon
+        as every batch element converges) or ``"fixed"`` (static
+        fori_loop over exactly ``max_iter`` iterations with per-problem
+        convergence masks).  Fixed schedules contain zero dynamic loop
+        conditions — on runtimes where a while_loop condition forces a
+        host synchronization (measured ~19 ms per iteration through a
+        tunneled TPU) they are dramatically faster; they also produce a
+        single static compute graph.
     """
 
     rho: float = 1e-1
@@ -98,6 +106,7 @@ class QPSettings:
     verbose: bool = False
     linear_solver: str = "schur_cholesky"
     refine_steps: int = 0
+    schedule: str = "early_exit"
 
     def validate(self) -> None:
         if not (self.rho > 0):
@@ -116,6 +125,8 @@ class QPSettings:
             raise ValueError("adaptive_rho_interval must be > 0")
         if self.linear_solver not in ("schur_cholesky", "kkt_ldlt", "cg"):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
+        if self.schedule not in ("early_exit", "fixed"):
+            raise ValueError(f"schedule must be 'early_exit' or 'fixed', got {self.schedule}")
 
 
 @jax.tree_util.register_dataclass

@@ -151,6 +151,14 @@ def sqp_solve_fused(
         def not_posdef(M):
             return jnp.isnan(jnp.linalg.cholesky(M)).any(axis=(-1, -2))
 
+        if settings.schedule == "fixed":
+            # static variant: one Cholesky check, reset-to-identity fallback
+            # (BFGS keeps B posdef by construction; failures are rare
+            # numerics and a reset is the robust recovery — see the
+            # ls_failed reset rationale in sqp/solver.py)
+            need = not_posdef(Bm)
+            return jnp.where(need[:, None, None], eye, Bm)
+
         def cond(s):
             M, tau, j = s
             return jnp.any(not_posdef(M)) & (j < 40)
@@ -203,12 +211,8 @@ def sqp_solve_fused(
         phi = obj + mu * constr_l1
         D = gp - mu * constr_l1
 
-        def cond(s):
-            alpha, i, accepted = s
-            return jnp.any(~accepted) & (i < settings.line_search_max_iter)
-
-        def body(s):
-            alpha, i, accepted = s
+        def body(carry, _):
+            alpha, accepted = carry
             x_step = x + alpha[:, None] * p
             phi_step = f_b(x_step, params) if has_params else f_b(x_step)
             cv = c_b(x_step, params) if has_params else c_b(x_step)
@@ -216,12 +220,17 @@ def sqp_solve_fused(
             ok = phi_step <= phi + alpha * settings.eta * D
             accepted = accepted | ok
             alpha = jnp.where(accepted, alpha, settings.tau * alpha)
-            return alpha, i + 1, accepted
+            return (alpha, accepted), None
 
-        alpha, _, accepted = lax.while_loop(
-            cond,
+        # fixed-trip scan (same semantics as the reference's backtracking
+        # for-loop, src/sqp.cpp:294-306: at most max_iter-1 evaluations);
+        # a while_loop would add a host-synced condition per trip
+        (alpha, accepted), _ = lax.scan(
             body,
-            (jnp.ones((B,), dtype), jnp.int32(1), jnp.zeros((B,), jnp.bool_)),
+            (jnp.ones((B,), dtype), jnp.zeros((B,), jnp.bool_)),
+            None,
+            length=settings.line_search_max_iter - 1,
+            unroll=4,
         )
         return alpha, accepted
 
@@ -339,7 +348,10 @@ def sqp_solve_fused(
         prim_norm=zero_b,
         dual_norm=zero_b,
     )
-    final = lax.while_loop(cond, body, init)
+    if settings.schedule == "fixed":
+        final = lax.fori_loop(0, settings.max_iter, lambda i, c: body(c), init)
+    else:
+        final = lax.while_loop(cond, body, init)
 
     status = jnp.where(
         final.failed,

@@ -123,6 +123,7 @@ class SQPSettings:
     qp_warm_start: bool = True
     jacobian_mode: str = "fwd"
     termination: str = "step_norm"
+    schedule: str = "early_exit"
     iteration_callback: Optional[Callable] = None
 
     def validate(self) -> None:
@@ -143,6 +144,10 @@ class SQPSettings:
         if self.termination not in ("step_norm", "kkt"):
             raise ValueError(
                 f"termination must be 'step_norm' or 'kkt', got {self.termination}"
+            )
+        if self.schedule not in ("early_exit", "fixed"):
+            raise ValueError(
+                f"schedule must be 'early_exit' or 'fixed', got {self.schedule}"
             )
         self.qp.validate()
 

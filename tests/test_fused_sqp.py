@@ -21,9 +21,9 @@ SETTINGS = SQPSettings(
     termination="kkt",
     qp=QPSettings(
         alpha=1.6,
-        eps_abs=1e-7,
-        eps_rel=1e-7,
-        max_iter=1000,
+        eps_abs=1e-6,
+        eps_rel=1e-6,
+        max_iter=2000,
         check_termination=25,
         warm_start=True,
         adaptive_rho=True,
