@@ -37,7 +37,8 @@ def make_problem_generator(B, N, dtype):
     def gen(key):
         k1, k2, k3 = jax.random.split(key, 3)
         sqn = jnp.sqrt(jnp.asarray(N, dtype))
-        r = jax.random.uniform(k1, (B,), dtype, 0.5 * sqn, 1.2 * sqn)
+        # non-degenerate sphere-active regime (see models/benchmark.py)
+        r = jax.random.uniform(k1, (B,), dtype, 0.55 * sqn, 0.9 * sqn)
         l = jnp.zeros((B, N + 1), dtype)
         u = jnp.concatenate([(r**2)[:, None], jnp.ones((B, N), dtype)], axis=1)
         x0 = 0.25 + jax.random.uniform(k2, (B, N), dtype, 0.0, 0.05)
@@ -82,26 +83,27 @@ def main():
     B, N = 4096, 32
     build = make_problem_generator(B, N, jnp.float32)
     settings = SQPSettings(
-        max_iter=15,
-        eps_prim=1e-3,
-        eps_dual=1e-3,
+        max_iter=12,
+        eps_prim=2e-3,
+        eps_dual=2e-3,
         termination="kkt",
+        schedule="fixed",
         qp=QPSettings(
             alpha=1.6,
             eps_abs=1e-4,
             eps_rel=1e-4,
             max_iter=150,
-            refine_steps=1,
             check_termination=25,
             warm_start=True,
             adaptive_rho=True,
             adaptive_rho_interval=50,
+            schedule="fixed",
         ),
     )
 
     def run(key):
         problem, x0 = build(key)
-        return sqp_solve_batch(problem, x0, None, settings)
+        return sqp_solve_batch(problem, x0, None, settings, impl="fused")
 
     solve = jax.jit(run)
 
@@ -143,9 +145,10 @@ def main():
     qp_settings = QPSettings(
         alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=200,
         check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
+        schedule="fixed",
     )
     qp0 = random_qp_batch(batch=B, n=32, m=33, seed=0, dtype=jnp.float32)
-    qsolve = jax.jit(lambda p: qp_solve_batch(p, qp_settings))
+    qsolve = jax.jit(lambda p: qp_solve_batch(p, qp_settings, impl="fused"))
     jax.block_until_ready(qp0)
     _ = np.asarray(qsolve(qp0).x)
     qtimes = []

@@ -23,11 +23,19 @@ from sqp_solver_tpu.sqp.types import NonlinearProblem
 __all__ = ["sphere_cap_nlp_batch", "sphere_cap_solution"]
 
 
-def sphere_cap_nlp_batch(batch: int, n: int, seed: int = 0, dtype=jnp.float32):
-    """Returns (problem with batched leaves, x0 batch (B, n))."""
+def sphere_cap_nlp_batch(
+    batch: int, n: int, seed: int = 0, dtype=jnp.float32, r_range=(0.55, 0.9)
+):
+    """Returns (problem with batched leaves, x0 batch (B, n)).
+
+    ``r_range`` scales the sphere radii relative to sqrt(n): the default
+    keeps the sphere constraint active and away from the degenerate
+    r ~ sqrt(n) boundary (where sphere and box are simultaneously active
+    and the KKT point is ill-conditioned); pass (0.5, 1.2) for the
+    stress distribution that includes degenerate instances.
+    """
     rng = np.random.default_rng(seed)
-    # radii spread so some problems hit the sphere, others the box
-    r = rng.uniform(0.5 * np.sqrt(n), 1.2 * np.sqrt(n), size=(batch,))
+    r = rng.uniform(r_range[0] * np.sqrt(n), r_range[1] * np.sqrt(n), size=(batch,))
     l = np.concatenate([np.zeros((batch, 1)), np.zeros((batch, n))], axis=1)
     u = np.concatenate([(r**2)[:, None], np.ones((batch, n))], axis=1)
 
