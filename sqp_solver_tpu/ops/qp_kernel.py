@@ -1,0 +1,356 @@
+"""Whole-QP-solve Pallas TPU kernel.
+
+One kernel = one complete ADMM QP solve for a tile of problems, in the
+*transposed* layout: every array carries the problem index in the LAST
+(lane) dimension — P is (n, n, TL), vectors are (n, TL) — so 128 problems
+ride the 128 VPU lanes and the sequential small-matrix algorithms
+(Cholesky column loop, triangular substitution) are fully lane-vectorized.
+
+Everything lives in VMEM for the whole solve:
+
+    classify rho  ->  for each rho epoch:
+                          M = P + sigma I + A' diag(rho) A
+                          L = chol(M);  Minv = L^-T L^-1   (in-kernel)
+                          for each chunk: `seg` ADMM iterations
+                          residuals, per-problem done masks, rho estimate
+
+This eliminates the per-chunk kernel-launch + operand re-layout cost of
+the chunked design (measured ~30 ms per chunk at B=4096 against ~2 ms of
+kernel compute) and never materializes the (B, D, D) iteration operator in
+HBM at all.  Exploiting the block structure (apply M^-1 and A separately)
+also does ~30% fewer MACs per iteration than the fused-W form.
+
+Semantics match qp.admm_batched / qp.admm with schedule="fixed" (same
+iterate math, same termination cadence, chunk-granular freezing);
+validated against them in interpret mode by tests/test_qp_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sqp_solver_tpu.qp.classify import (
+    LOOSE_BOUNDS_THRESH,
+    RHO_EQ_FACTOR,
+    RHO_MAX,
+    RHO_MIN,
+    RHO_TOL,
+)
+from sqp_solver_tpu.qp.types import (
+    QPInfo,
+    QPResult,
+    QPSettings,
+    QPState,
+    QPStatus,
+    QuadraticProblem,
+)
+
+__all__ = ["qp_solve_kernel", "pick_lane_tile"]
+
+
+def pick_lane_tile(n: int, m: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
+    """Problems per program (lane tile): 128 when the ~6 (n x n / m x n)
+    matrices fit VMEM, halved otherwise (multiples of 128 lanes are
+    what the VPU wants; smaller tiles waste lanes)."""
+    per_lane = 4 * (4 * n * n + 2 * m * n + 10 * (n + m))
+    tl = 128
+    while tl > 8 and per_lane * tl * 2 > vmem_budget:
+        tl //= 2
+    return tl
+
+
+def _mm_t(A, B_, reduce_axis=1):
+    """Transposed-layout matmul helper: contract over `reduce_axis`."""
+    return jnp.sum(A * B_, axis=reduce_axis)
+
+
+def _qp_kernel(
+    P_ref, A_ref, q_ref, l_ref, u_ref, x_ref, z_ref, y_ref,
+    xo_ref, zo_ref, yo_ref, st_ref,
+    *, n, m, sigma, alpha, rho0, eps_abs, eps_rel,
+    n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
+):
+    dtype = P_ref.dtype
+    P = P_ref[:]          # (n, n, TL)
+    A = A_ref[:]          # (m, n, TL)
+    q = q_ref[:]          # (n, TL)
+    l = l_ref[:]          # (m, TL)
+    u = u_ref[:]          # (m, TL)
+    TL = q.shape[-1]
+
+    row_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    eye_n = (row_i == col_i).astype(dtype)  # (n, n, 1)
+
+    # --- constraint classification (reference src/qp.cpp:284-314) ----------
+    loose = (l < -LOOSE_BOUNDS_THRESH) & (u > LOOSE_BOUNDS_THRESH)
+    equality = (u - l) < RHO_TOL
+
+    def rho_from(rho_scalar):  # rho_scalar: (1, TL)
+        return jnp.where(
+            loose, RHO_MIN, jnp.where(equality, RHO_EQ_FACTOR * rho_scalar, rho_scalar)
+        )
+
+    def factor(rho_vec):
+        """M = P + sigma I + A' diag(rho) A; Minv via in-kernel Cholesky +
+        lane-vectorized triangular inversion."""
+        SA = A * rho_vec[:, None, :]  # (m, n, TL)
+        # M[i, j] = P[i, j] + sum_k A[k, i] * SA[k, j]
+        M = P + sigma * eye_n + jnp.sum(A[:, :, None, :] * SA[:, None, :, :], axis=0)
+
+        # right-looking Cholesky, column loop (lane-vectorized over TL)
+        def chol_col(j, LM):
+            Lc, Mc = LM
+            dj = jnp.sum(Mc * ((row_i == j) & (col_i == j)).astype(dtype), axis=(0, 1))
+            inv_sq = lax.rsqrt(jnp.maximum(dj, 1e-30))  # (TL,)
+            colj = jnp.sum(Mc * (col_i == j).astype(dtype), axis=1)  # (n, TL)
+            rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+            # column j of L: sqrt(dj) on the diagonal, colj/sqrt(dj) below
+            lcol = jnp.where(rows > j, colj * inv_sq[None, :], 0.0)
+            lcol = lcol + jnp.where(
+                rows == j, jnp.sqrt(jnp.maximum(dj, 1e-30))[None, :], 0.0
+            )
+            Lc = Lc + lcol[:, None, :] * (col_i == j).astype(dtype)
+            # trailing rank-1 update M -= lcol lcol'
+            Mc = Mc - lcol[:, None, :] * lcol[None, :, :]
+            return Lc, Mc
+
+        L0 = jnp.zeros_like(M)
+        Lf, _ = lax.fori_loop(0, n, chol_col, (L0, M))
+
+        # forward substitution for X = L^-1 (row loop, lane-vectorized):
+        # X[j, :] = (I[j, :] - sum_{k<j} L[j, k] X[k, :]) / L[j, j]
+        def inv_row(j, X):
+            Lrow = jnp.sum(Lf * (row_i == j).astype(dtype), axis=0)  # (n, TL) = L[j, :]
+            ljj = jnp.sum(
+                Lf * ((row_i == j) & (col_i == j)).astype(dtype), axis=(0, 1)
+            )  # (TL,)
+            below_mask = (lax.broadcasted_iota(jnp.int32, (n, 1), 0) < j).astype(dtype)
+            acc = jnp.sum((Lrow * below_mask[:, 0][:, None])[:, None, :] * X, axis=0)
+            ej = (lax.broadcasted_iota(jnp.int32, (n, 1), 0) == j).astype(dtype)
+            newrow = (ej - acc) / jnp.maximum(ljj, 1e-30)[None, :]
+            return X + newrow[None, :, :] * (row_i == j).astype(dtype)
+
+        Li = lax.fori_loop(0, n, inv_row, jnp.zeros_like(M))
+        # Minv = Li' Li : Minv[i, j] = sum_k Li[k, i] Li[k, j]
+        Minv = jnp.sum(Li[:, :, None, :] * Li[:, None, :, :], axis=0)
+        return M, Minv
+
+    def stats(x, z, y):
+        Ax = _mm_t(A, x[None, :, :])  # (m, TL)
+        Px = jnp.sum(P * x[None, :, :], axis=1)  # (n, TL)
+        ATy = jnp.sum(A * y[:, None, :], axis=0)  # (n, TL)
+        linf = lambda v: jnp.max(jnp.abs(v), axis=0)  # (TL,)
+        res_prim = linf(Ax - z)
+        res_dual = linf(Px + q + ATy)
+        max_Ax_z = jnp.maximum(linf(Ax), linf(z))
+        max_Px_ATy_q = jnp.maximum(linf(Px), jnp.maximum(linf(ATy), linf(q)))
+        return res_prim, res_dual, max_Ax_z, max_Px_ATy_q
+
+    def admm_iter(x, z, y, Minv, rho_vec):
+        rho_inv = 1.0 / rho_vec
+        rhs2 = rho_vec * z - y  # (m, TL)
+        b = sigma * x - q + jnp.sum(A * rhs2[:, None, :], axis=0)  # (n, TL)
+        xt = jnp.sum(Minv * b[None, :, :], axis=1)  # (n, TL)
+        zt = _mm_t(A, xt[None, :, :])  # (m, TL)
+        xn = alpha * xt + (1.0 - alpha) * x
+        z_pre = alpha * zt + (1.0 - alpha) * z
+        zn = jnp.clip(z_pre + rho_inv * y, l, u)
+        yn = y + rho_vec * (z_pre - zn)
+        return xn, zn, yn
+
+    # --- main schedule: static epochs, fori chunks, fori iterations --------
+    x, z, y = x_ref[:], z_ref[:], y_ref[:]
+    done = jnp.zeros((1, TL), jnp.bool_)
+    itc = jnp.zeros((1, TL), jnp.float32)
+    rho = jnp.full((1, TL), rho0, dtype)
+    rp = jnp.zeros((1, TL), dtype)
+    rd = jnp.zeros((1, TL), dtype)
+    mz = jnp.zeros((1, TL), dtype)
+    mq = jnp.zeros((1, TL), dtype)
+
+    for _ in range(n_epochs):
+        rho_vec = rho_from(rho)
+        M, Minv = factor(rho_vec)
+
+        def chunk(ci, carry):
+            x, z, y, done, itc, rp, rd, mz, mq = carry
+
+            def it(_, xzy):
+                return admm_iter(*xzy, Minv, rho_vec)
+
+            xn, zn, yn = lax.fori_loop(0, seg, it, (x, z, y))
+            act = ~done
+            x = jnp.where(act, xn, x)
+            z = jnp.where(act, zn, z)
+            y = jnp.where(act, yn, y)
+            res_prim, res_dual, max_Ax_z, max_Px_ATy_q = stats(x, z, y)
+            conv = (res_prim <= eps_abs + eps_rel * max_Ax_z) & (
+                res_dual <= eps_abs + eps_rel * max_Px_ATy_q
+            )
+            itc = jnp.where(act, itc + seg, itc)
+            rp = jnp.where(act, res_prim[None, :], rp)
+            rd = jnp.where(act, res_dual[None, :], rd)
+            mz = jnp.where(act, max_Ax_z[None, :], mz)
+            mq = jnp.where(act, max_Px_ATy_q[None, :], mq)
+            done = done | (act & conv[None, :])
+            return x, z, y, done, itc, rp, rd, mz, mq
+
+        x, z, y, done, itc, rp, rd, mz, mq = lax.fori_loop(
+            0, chunks_per_epoch, chunk, (x, z, y, done, itc, rp, rd, mz, mq)
+        )
+
+        if adaptive_rho:
+            tinyv = 1e-30
+            nrp = rp / (mz + tinyv)
+            nrd = rd / (mq + tinyv)
+            new_rho = jnp.clip(rho * jnp.sqrt(nrp / (nrd + tinyv)), RHO_MIN, RHO_MAX)
+            changed = (
+                (new_rho < rho / adaptive_rho_tolerance)
+                | (new_rho > rho * adaptive_rho_tolerance)
+            ) & (~done)
+            rho = jnp.where(changed, new_rho, rho)
+
+    xo_ref[:] = x
+    zo_ref[:] = z
+    yo_ref[:] = y
+    st_ref[:] = jnp.concatenate(
+        [
+            done.astype(dtype),
+            itc.astype(dtype),
+            rp.astype(dtype),
+            rd.astype(dtype),
+        ],
+        axis=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "m", "sigma", "alpha", "rho0", "eps_abs", "eps_rel", "n_epochs",
+        "chunks_per_epoch", "seg", "adaptive_rho", "adaptive_rho_tolerance",
+        "lane_tile", "interpret",
+    ),
+)
+def _qp_kernel_call(
+    Pt, At, qt, lt, ut, xt, zt, yt, *, n, m, sigma, alpha, rho0, eps_abs,
+    eps_rel, n_epochs, chunks_per_epoch, seg, adaptive_rho,
+    adaptive_rho_tolerance, lane_tile, interpret,
+):
+    B = qt.shape[-1]
+    grid = (B // lane_tile,)
+
+    def spec(*lead):
+        return pl.BlockSpec(
+            lead + (lane_tile,),
+            lambda i: (0,) * len(lead) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _qp_kernel, n=n, m=m, sigma=sigma, alpha=alpha, rho0=rho0,
+        eps_abs=eps_abs, eps_rel=eps_rel, n_epochs=n_epochs,
+        chunks_per_epoch=chunks_per_epoch, seg=seg, adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance,
+    )
+    total_iters = n_epochs * chunks_per_epoch * seg
+    x, z, y, st = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(n, n), spec(m, n), spec(n), spec(m), spec(m),
+                  spec(n), spec(m), spec(m)],
+        out_specs=(spec(n), spec(m), spec(m), spec(4)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B), qt.dtype),
+            jax.ShapeDtypeStruct((m, B), qt.dtype),
+            jax.ShapeDtypeStruct((m, B), qt.dtype),
+            jax.ShapeDtypeStruct((4, B), qt.dtype),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (n * n + 2 * m * n) * total_iters
+            + 2 * B * n * n * n * 3 * n_epochs,
+            bytes_accessed=B * (n * n + m * n) * 4,
+            transcendentals=B * n * n_epochs,
+        ),
+    )(Pt, At, qt, lt, ut, xt, zt, yt)
+    return x, z, y, st
+
+
+def qp_solve_kernel(
+    qp: QuadraticProblem,
+    settings: QPSettings = QPSettings(),
+    state: Optional[QPState] = None,
+    interpret: bool = False,
+) -> QPResult:
+    """Solve a batch of QPs with the whole-solve kernel.
+
+    Fixed schedule only (it IS a fixed schedule); schur_cholesky solve;
+    rho epochs = adaptive_rho_interval.  Leaves of ``qp`` carry leading
+    batch dim B.
+    """
+    settings.validate()
+    P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
+    dtype = P.dtype
+    B, n = q.shape
+    m = A.shape[-2]
+
+    seg = settings.check_termination if settings.check_termination > 0 else settings.max_iter
+    interval = settings.adaptive_rho_interval if settings.adaptive_rho else settings.max_iter
+    chunks_per_epoch = max(1, -(-min(interval, settings.max_iter) // seg))
+    n_epochs = max(1, -(-settings.max_iter // (chunks_per_epoch * seg)))
+
+    lane_tile = pick_lane_tile(n, m)
+    pad = (-B) % lane_tile
+    if pad:
+        qp_p = QuadraticProblem(
+            *(jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)]) for v in (P, q, A, l, u))
+        )
+        if state is not None:
+            state = jax.tree.map(
+                lambda v: jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)]), state
+            )
+        return jax.tree.map(lambda v: v[:B], qp_solve_kernel(qp_p, settings, state, interpret))
+
+    if state is None:
+        x0 = jnp.zeros((B, n), dtype)
+        z0 = jnp.zeros((B, m), dtype)
+        y0 = jnp.zeros((B, m), dtype)
+    else:
+        x0, z0, y0 = state.x, state.z, state.y
+
+    # transpose to problems-last layout
+    Pt = jnp.moveaxis(P, 0, -1)
+    At = jnp.moveaxis(A, 0, -1)
+    qt, lt, ut, xt, zt, yt = (jnp.moveaxis(v, 0, -1) for v in (q, l, u, x0, z0, y0))
+
+    x, z, y, st = _qp_kernel_call(
+        Pt, At, qt, lt, ut, xt, zt, yt,
+        n=n, m=m, sigma=float(settings.sigma), alpha=float(settings.alpha),
+        rho0=float(settings.rho), eps_abs=float(settings.eps_abs),
+        eps_rel=float(settings.eps_rel), n_epochs=n_epochs,
+        chunks_per_epoch=chunks_per_epoch, seg=seg,
+        adaptive_rho=bool(settings.adaptive_rho),
+        adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
+        lane_tile=lane_tile, interpret=interpret,
+    )
+    x, z, y, st = (jnp.moveaxis(v, -1, 0) for v in (x, z, y, st))
+    done = st[:, 0] > 0.5
+    status = jnp.where(done, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED).astype(jnp.int32)
+    info = QPInfo(
+        status=status,
+        iter=st[:, 1].astype(jnp.int32),
+        rho_updates=jnp.zeros((B,), jnp.int32),
+        rho_estimate=jnp.zeros((B,), dtype),
+        res_prim=st[:, 2],
+        res_dual=st[:, 3],
+    )
+    return QPResult(x=x, y=y, z=z, info=info)
