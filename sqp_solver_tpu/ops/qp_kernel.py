@@ -98,24 +98,36 @@ def _qp_kernel(
             loose, RHO_MIN, jnp.where(equality, RHO_EQ_FACTOR * rho_scalar, rho_scalar)
         )
 
+    def t_atb(A1, A2):
+        """out[i, j, :] = sum_k A1[k, i, :] * A2[k, j, :] — row loop with
+        static indices (a broadcast formulation materializes a 4-D
+        (k, r, c, TL) intermediate, ~17 MB at n=32/TL=128: VMEM OOM)."""
+        rows = [
+            jnp.sum(A1[:, i, :][:, None, :] * A2, axis=0)
+            for i in range(A1.shape[1])
+        ]
+        return jnp.stack(rows, axis=0)
+
     def factor(rho_vec):
         """M = P + sigma I + A' diag(rho) A; Minv via in-kernel Cholesky +
         lane-vectorized triangular inversion."""
         SA = A * rho_vec[:, None, :]  # (m, n, TL)
         # M[i, j] = P[i, j] + sum_k A[k, i] * SA[k, j]
-        M = P + sigma * eye_n + jnp.sum(A[:, :, None, :] * SA[:, None, :, :], axis=0)
+        M = P + sigma * eye_n + t_atb(A, SA)
 
         # right-looking Cholesky, column loop (lane-vectorized over TL)
         def chol_col(j, LM):
             Lc, Mc = LM
-            dj = jnp.sum(Mc * ((row_i == j) & (col_i == j)).astype(dtype), axis=(0, 1))
-            inv_sq = lax.rsqrt(jnp.maximum(dj, 1e-30))  # (TL,)
+            dj = jnp.sum(
+                Mc * ((row_i == j) & (col_i == j)).astype(dtype), axis=0
+            ).sum(axis=0, keepdims=True)  # (1, TL)
+            inv_sq = lax.rsqrt(jnp.maximum(dj, 1e-30))  # (1, TL)
             colj = jnp.sum(Mc * (col_i == j).astype(dtype), axis=1)  # (n, TL)
             rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
             # column j of L: sqrt(dj) on the diagonal, colj/sqrt(dj) below
-            lcol = jnp.where(rows > j, colj * inv_sq[None, :], 0.0)
+            lcol = jnp.where(rows > j, colj * inv_sq, 0.0)
             lcol = lcol + jnp.where(
-                rows == j, jnp.sqrt(jnp.maximum(dj, 1e-30))[None, :], 0.0
+                rows == j, jnp.sqrt(jnp.maximum(dj, 1e-30)), 0.0
             )
             Lc = Lc + lcol[:, None, :] * (col_i == j).astype(dtype)
             # trailing rank-1 update M -= lcol lcol'
@@ -130,24 +142,24 @@ def _qp_kernel(
         def inv_row(j, X):
             Lrow = jnp.sum(Lf * (row_i == j).astype(dtype), axis=0)  # (n, TL) = L[j, :]
             ljj = jnp.sum(
-                Lf * ((row_i == j) & (col_i == j)).astype(dtype), axis=(0, 1)
-            )  # (TL,)
-            below_mask = (lax.broadcasted_iota(jnp.int32, (n, 1), 0) < j).astype(dtype)
-            acc = jnp.sum((Lrow * below_mask[:, 0][:, None])[:, None, :] * X, axis=0)
+                Lf * ((row_i == j) & (col_i == j)).astype(dtype), axis=0
+            ).sum(axis=0, keepdims=True)  # (1, TL)
+            below = (lax.broadcasted_iota(jnp.int32, (n, 1), 0) < j).astype(dtype)
+            acc = jnp.sum((Lrow * below)[:, None, :] * X, axis=0)
             ej = (lax.broadcasted_iota(jnp.int32, (n, 1), 0) == j).astype(dtype)
-            newrow = (ej - acc) / jnp.maximum(ljj, 1e-30)[None, :]
+            newrow = (ej - acc) / jnp.maximum(ljj, 1e-30)
             return X + newrow[None, :, :] * (row_i == j).astype(dtype)
 
         Li = lax.fori_loop(0, n, inv_row, jnp.zeros_like(M))
         # Minv = Li' Li : Minv[i, j] = sum_k Li[k, i] Li[k, j]
-        Minv = jnp.sum(Li[:, :, None, :] * Li[:, None, :, :], axis=0)
+        Minv = t_atb(Li, Li)
         return M, Minv
 
     def stats(x, z, y):
         Ax = _mm_t(A, x[None, :, :])  # (m, TL)
         Px = jnp.sum(P * x[None, :, :], axis=1)  # (n, TL)
         ATy = jnp.sum(A * y[:, None, :], axis=0)  # (n, TL)
-        linf = lambda v: jnp.max(jnp.abs(v), axis=0)  # (TL,)
+        linf = lambda v: jnp.max(jnp.abs(v), axis=0, keepdims=True)  # (1, TL)
         res_prim = linf(Ax - z)
         res_dual = linf(Px + q + ATy)
         max_Ax_z = jnp.maximum(linf(Ax), linf(z))
@@ -180,9 +192,10 @@ def _qp_kernel(
         rho_vec = rho_from(rho)
         M, Minv = factor(rho_vec)
 
-        def chunk(ci, carry):
-            x, z, y, done, itc, rp, rd, mz, mq = carry
-
+        # chunks unrolled (static count): per-problem scalar rows in a
+        # fori carry trip Mosaic's layout unification ((1, TL) values get
+        # replicated layouts that can't round-trip)
+        for _ci in range(chunks_per_epoch):
             def it(_, xzy):
                 return admm_iter(*xzy, Minv, rho_vec)
 
@@ -196,16 +209,11 @@ def _qp_kernel(
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )
             itc = jnp.where(act, itc + seg, itc)
-            rp = jnp.where(act, res_prim[None, :], rp)
-            rd = jnp.where(act, res_dual[None, :], rd)
-            mz = jnp.where(act, max_Ax_z[None, :], mz)
-            mq = jnp.where(act, max_Px_ATy_q[None, :], mq)
-            done = done | (act & conv[None, :])
-            return x, z, y, done, itc, rp, rd, mz, mq
-
-        x, z, y, done, itc, rp, rd, mz, mq = lax.fori_loop(
-            0, chunks_per_epoch, chunk, (x, z, y, done, itc, rp, rd, mz, mq)
-        )
+            rp = jnp.where(act, res_prim, rp)
+            rd = jnp.where(act, res_dual, rd)
+            mz = jnp.where(act, max_Ax_z, mz)
+            mq = jnp.where(act, max_Px_ATy_q, mq)
+            done = done | (act & conv)
 
         if adaptive_rho:
             tinyv = 1e-30
@@ -298,6 +306,8 @@ def qp_solve_kernel(
     batch dim B.
     """
     settings.validate()
+    if jax.default_backend() != "tpu":
+        interpret = True  # pallas TPU kernels only compile for TPU
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
     dtype = P.dtype
     B, n = q.shape

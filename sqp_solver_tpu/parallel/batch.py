@@ -37,6 +37,10 @@ def qp_solve_batch(
         from sqp_solver_tpu.qp.admm_batched import qp_solve_fused
 
         return qp_solve_fused(qp, settings, state)
+    if impl == "kernel":
+        from sqp_solver_tpu.ops.qp_kernel import qp_solve_kernel
+
+        return qp_solve_kernel(qp, settings, state)
     if state is None:
         return jax.vmap(lambda p: qp_solve(p, settings))(qp)
     return jax.vmap(lambda p, s: qp_solve(p, settings, s))(qp, state)

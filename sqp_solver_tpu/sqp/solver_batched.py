@@ -213,6 +213,10 @@ def sqp_solve_fused(
     def solve_subproblem(Bm, grad_obj, J, lqp, uqp, qp_state):
         qp = QuadraticProblem(P=Bm, q=grad_obj, A=J, l=lqp, u=uqp)
         state = qp_state if settings.qp_warm_start else None
+        if settings.qp_impl == "kernel":
+            from sqp_solver_tpu.ops.qp_kernel import qp_solve_kernel
+
+            return qp_solve_kernel(qp, settings.qp, state)
         return qp_solve_fused(qp, settings.qp, state)
 
     def merit_weight(mu_prev, p, Bm, grad_obj, c_val, lam_qp):

@@ -121,6 +121,7 @@ class SQPSettings:
         adaptive_rho_interval=50,
     )
     qp_warm_start: bool = True
+    qp_impl: str = "fused"
     jacobian_mode: str = "fwd"
     termination: str = "step_norm"
     schedule: str = "early_exit"
@@ -149,6 +150,8 @@ class SQPSettings:
             raise ValueError(
                 f"schedule must be 'early_exit' or 'fixed', got {self.schedule}"
             )
+        if self.qp_impl not in ("fused", "kernel"):
+            raise ValueError(f"qp_impl must be 'fused' or 'kernel', got {self.qp_impl}")
         self.qp.validate()
 
 
