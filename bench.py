@@ -88,6 +88,7 @@ def main():
         eps_dual=2e-3,
         termination="kkt",
         schedule="fixed",
+        qp_impl="kernel",
         qp=QPSettings(
             alpha=1.6,
             eps_abs=1e-4,
@@ -148,7 +149,7 @@ def main():
         schedule="fixed",
     )
     qp0 = random_qp_batch(batch=B, n=32, m=33, seed=0, dtype=jnp.float32)
-    qsolve = jax.jit(lambda p: qp_solve_batch(p, qp_settings, impl="fused"))
+    qsolve = jax.jit(lambda p: qp_solve_batch(p, qp_settings, impl="kernel"))
     jax.block_until_ready(qp0)
     _ = np.asarray(qsolve(qp0).x)
     qtimes = []

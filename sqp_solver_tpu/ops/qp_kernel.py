@@ -99,14 +99,22 @@ def _qp_kernel(
         )
 
     def t_atb(A1, A2):
-        """out[i, j, :] = sum_k A1[k, i, :] * A2[k, j, :] — row loop with
-        static indices (a broadcast formulation materializes a 4-D
-        (k, r, c, TL) intermediate, ~17 MB at n=32/TL=128: VMEM OOM)."""
-        rows = [
-            jnp.sum(A1[:, i, :][:, None, :] * A2, axis=0)
-            for i in range(A1.shape[1])
-        ]
-        return jnp.stack(rows, axis=0)
+        """out[i, j, :] = sum_k A1[k, i, :] * A2[k, j, :] — row loop via
+        fori with masked extraction.  (A broadcast formulation would
+        materialize a 4-D (k, r, c, TL) intermediate, ~17 MB at n=32 /
+        TL=128: VMEM OOM; a python-unrolled loop compiles too slowly.)"""
+        k, r = A1.shape[0], A1.shape[1]
+        c = A2.shape[1]
+        iota_mid = lax.broadcasted_iota(jnp.int32, (k, r, 1), 1)
+        iota_out = lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
+
+        def body(i, out):
+            a1i = jnp.sum(A1 * (iota_mid == i).astype(A1.dtype), axis=1)  # (k, TL)
+            contrib = jnp.sum(a1i[:, None, :] * A2, axis=0)  # (c, TL)
+            return out + (iota_out == i).astype(A1.dtype) * contrib[None, :, :]
+
+        out0 = jnp.zeros((r, c, A1.shape[-1]), A1.dtype)
+        return lax.fori_loop(0, r, body, out0)
 
     def factor(rho_vec):
         """M = P + sigma I + A' diag(rho) A; Minv via in-kernel Cholesky +
