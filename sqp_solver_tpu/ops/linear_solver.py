@@ -149,38 +149,37 @@ def _schur_is_failure(factor):
 
 
 def ldlt_factor(K: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Pivot-free LDL^T of a symmetric quasi-definite matrix.
+    """Pivot-free LDL^T of a symmetric quasi-definite matrix (batch-
+    polymorphic: K is (..., N, N)).
 
     Right-looking rank-1 updates under ``lax.fori_loop`` — sequential in
-    columns but each step is a full-width vector op (VPU).  For large N the
-    blocked Pallas kernel in ``sqp_solver_tpu.ops.ldlt_pallas`` supersedes
-    this.  Returns (unit-lower L, diagonal d).
-    """
-    N = K.shape[0]
+    columns but each step is a full-width (batched) vector op.  Returns
+    (unit-lower L, diagonal d)."""
+    N = K.shape[-1]
     idx = jnp.arange(N)
 
     def body(j, carry):
         W, L, d = carry
-        dj = W[j, j]
-        col = W[:, j] / dj
-        below = idx > j
-        col = jnp.where(below, col, 0.0)
-        W = W - dj * jnp.outer(col, col)
-        L = L.at[:, j].set(col)
-        d = d.at[j].set(dj)
+        dj = W[..., :, j].take(j, axis=-1)  # (...,)
+        col = W[..., :, j] / dj[..., None]
+        col = jnp.where(idx > j, col, 0.0)
+        W = W - dj[..., None, None] * (col[..., :, None] * col[..., None, :])
+        L = lax.dynamic_update_index_in_dim(L, col, j, axis=-1)
+        d = lax.dynamic_update_index_in_dim(d, dj, j, axis=-1)
         return W, L, d
 
-    W0 = K
     L0 = jnp.zeros_like(K)
-    d0 = jnp.zeros((N,), K.dtype)
-    _, L, d = lax.fori_loop(0, N, body, (W0, L0, d0))
+    d0 = jnp.zeros(K.shape[:-1], K.dtype)
+    _, L, d = lax.fori_loop(0, N, body, (K, L0, d0))
     return L + jnp.eye(N, dtype=K.dtype), d
 
 
 def ldlt_solve(L: jnp.ndarray, d: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    w = jax.scipy.linalg.solve_triangular(L, b, lower=True, unit_diagonal=True)
+    w = jax.scipy.linalg.solve_triangular(L, b[..., None], lower=True, unit_diagonal=True)[..., 0]
     w = w / d
-    return jax.scipy.linalg.solve_triangular(L.T, w, lower=False, unit_diagonal=True)
+    return jax.scipy.linalg.solve_triangular(
+        L.mT, w[..., None], lower=False, unit_diagonal=True
+    )[..., 0]
 
 
 def _kkt_matrix(P, A, sigma, rho_vec):

@@ -371,4 +371,9 @@ def qp_solve_kernel(
         res_prim=st[:, 2],
         res_dual=st[:, 3],
     )
-    return QPResult(x=x, y=y, z=z, info=info)
+    result = QPResult(x=x, y=y, z=z, info=info)
+    if settings.polish:
+        from sqp_solver_tpu.qp.polish import polish_qp
+
+        result = polish_qp(qp, result, settings)
+    return result

@@ -273,4 +273,9 @@ def qp_solve(
         res_prim=final.res_prim,
         res_dual=final.res_dual,
     )
-    return QPResult(x=final.x, y=final.y, z=final.z, info=info)
+    result = QPResult(x=final.x, y=final.y, z=final.z, info=info)
+    if settings.polish:
+        from sqp_solver_tpu.qp.polish import polish_qp
+
+        result = polish_qp(qp, result, settings)
+    return result

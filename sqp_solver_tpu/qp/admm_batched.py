@@ -265,4 +265,9 @@ def qp_solve_fused(
         res_prim=final.res_prim,
         res_dual=final.res_dual,
     )
-    return QPResult(x=final.s[:, :n], y=final.yp[:, n:], z=final.s[:, n:], info=info)
+    result = QPResult(x=final.s[:, :n], y=final.yp[:, n:], z=final.s[:, n:], info=info)
+    if settings.polish:
+        from sqp_solver_tpu.qp.polish import polish_qp
+
+        result = polish_qp(qp, result, settings)
+    return result

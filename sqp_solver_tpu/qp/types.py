@@ -82,6 +82,9 @@ class QPSettings:
         ``include/unsupported/qp_solver.hpp:135``).
       * ``refine_steps``: iterative-refinement sweeps per linear solve
         (meets tight accuracy bars in f32 on the MXU).
+      * ``polish``: one active-set equality re-solve after convergence
+        (see ``qp.polish``) — 25-75x solution accuracy at the cost of one
+        extra factorization.
       * ``schedule``: ``"early_exit"`` (dynamic while_loop; stops as soon
         as every batch element converges) or ``"fixed"`` (static
         fori_loop over exactly ``max_iter`` iterations with per-problem
@@ -107,6 +110,7 @@ class QPSettings:
     linear_solver: str = "schur_cholesky"
     refine_steps: int = 0
     schedule: str = "early_exit"
+    polish: bool = False
 
     def validate(self) -> None:
         if not (self.rho > 0):
