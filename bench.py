@@ -89,6 +89,7 @@ def main():
         termination="kkt",
         schedule="fixed",
         qp_impl="kernel",
+        polish=True,
         qp=QPSettings(
             alpha=1.6,
             eps_abs=1e-4,

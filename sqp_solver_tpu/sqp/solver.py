@@ -343,6 +343,47 @@ def sqp_solve(
     )
     final = lax.while_loop(cond, body, init)
 
+    x_out, lam_out = final.x, final.lam
+    if settings.polish:
+        # Newton-KKT polish on the active set with the true Lagrangian
+        # Hessian (see sqp/solver_batched.py for rationale + measurements)
+        from sqp_solver_tpu.ops.linear_solver import ldlt_factor, ldlt_solve
+
+        _, grad_f = f_lin(x_out)
+        c_f, J_f = c_lin(x_out)
+        ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out)))
+        act_low = lam_out < -ytol
+        act_up = lam_out > ytol
+        act = act_low | act_up
+        b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
+        H = jax.hessian(lambda xx: f(xx) + jnp.dot(lam_out, c(xx)))(x_out)
+        H = jnp.where(jnp.isnan(H).any(), final.B, H)
+        delta = 1e-6
+        e_w = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
+        K = jnp.concatenate(
+            [
+                jnp.concatenate([H + delta * eye, J_f.T], axis=-1),
+                jnp.concatenate([J_f, -jnp.diag(e_w)], axis=-1),
+            ],
+            axis=-2,
+        )
+        rhs = jnp.concatenate([-grad_f, b_t - c_f])
+        Lk, dk = ldlt_factor(K)
+        sol = ldlt_solve(Lk, dk, rhs)
+        sol = sol + ldlt_solve(Lk, dk, rhs - K @ sol)
+        x_pol = x_out + sol[:n]
+        lam_pol = jnp.where(act, sol[n:], 0.0)
+
+        def kkt_err(xx, ll):
+            _, g = f_lin(xx)
+            cv, J = c_lin(xx)
+            return jnp.maximum(_linf(g + hdot(J.T, ll)), max_violation(cv))
+
+        bad = jnp.isnan(x_pol).any() | jnp.isnan(lam_pol).any()
+        better = (kkt_err(x_pol, lam_pol) < kkt_err(x_out, lam_out)) & (~bad)
+        x_out = jnp.where(better, x_pol, x_out)
+        lam_out = jnp.where(better, lam_pol, lam_out)
+
     status = jnp.where(
         final.failed,
         SQPStatus.NUMERICAL_ISSUES,
@@ -355,4 +396,4 @@ def sqp_solve(
         primal_step_norm=final.prim_norm,
         dual_step_norm=final.dual_norm,
     )
-    return SQPResult(x=final.x, lam=final.lam, info=info)
+    return SQPResult(x=x_out, lam=lam_out, info=info)

@@ -376,6 +376,71 @@ def sqp_solve_fused(
     else:
         final = lax.while_loop(cond, body, init)
 
+    x_out, lam_out = final.x, final.lam
+    if settings.polish:
+        # --- SQP polish: one Newton-KKT step on the active set ------------
+        # Linearize at the final iterate, guess the active set from the
+        # multiplier signs (relative threshold), and solve the masked
+        # equality KKT  [[B+dI, J_act'],[J_act, -e]] [dx; nu] = [-g; b - c]
+        # (same conditioning trick as qp/polish.py).  B is the BFGS
+        # estimate, so the step is quasi-Newton — still typically 10-100x
+        # on the primal because the active constraints get enforced to
+        # linear-solve accuracy instead of ADMM tolerance.
+        from sqp_solver_tpu.ops.linear_solver import ldlt_factor, ldlt_solve
+
+        obj_f, grad_f = f_lin_b(x_out, params) if has_params else f_lin_b(x_out)
+        c_f, J_f = c_lin_b(x_out, params) if has_params else c_lin_b(x_out)
+        ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out), axis=-1, keepdims=True))
+        act_low = lam_out < -ytol
+        act_up = lam_out > ytol
+        act = act_low | act_up
+        b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
+        # TRUE Lagrangian Hessian by autodiff (the BFGS estimate caps the
+        # Newton step's gain at ~1 digit; the exact Hessian gives the full
+        # quadratic correction — measured 6e-4 -> 8e-8 on the benchmark
+        # family).  Computed once per solve; cost ~ one jacfwd-of-grad.
+        if has_params:
+            lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
+            H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0))(
+                x_out, lam_out, params
+            )
+        else:
+            lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
+            H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0))(x_out, lam_out)
+        # fall back to the BFGS estimate where the true Hessian is NaN
+        H_bad = jnp.isnan(H_b).any(axis=(-1, -2))
+        H_b = jnp.where(H_bad[:, None, None], final.B, H_b)
+        delta = 1e-6
+        e = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
+        eye_m = jnp.eye(m, dtype=dtype)
+        K = jnp.concatenate(
+            [
+                jnp.concatenate([H_b + delta * jnp.eye(n, dtype=dtype), J_f.mT], axis=-1),
+                jnp.concatenate([J_f, -e[..., :, None] * eye_m], axis=-1),
+            ],
+            axis=-2,
+        )
+        rhs = jnp.concatenate([-(grad_f), b_t - c_f], axis=-1)
+        Lk, dk = ldlt_factor(K)
+        sol = ldlt_solve(Lk, dk, rhs)
+        sol = sol + ldlt_solve(Lk, dk, rhs - _mv(K, sol))
+        x_pol = x_out + sol[..., :n]
+        lam_pol = jnp.where(act, sol[..., n:], 0.0)
+
+        # accept per problem where the true KKT error (re-linearized at the
+        # polished point) improves
+        def kkt_err(xx, ll):
+            _, g = f_lin_b(xx, params) if has_params else f_lin_b(xx)
+            cv, J = c_lin_b(xx, params) if has_params else c_lin_b(xx)
+            stat = _linf(g + _mv(J.mT, ll))
+            viol = max_violation(cv)
+            return jnp.maximum(stat, viol)
+
+        bad = jnp.isnan(x_pol).any(-1) | jnp.isnan(lam_pol).any(-1)
+        better = (kkt_err(x_pol, lam_pol) < kkt_err(x_out, lam_out)) & (~bad)
+        x_out = jnp.where(better[:, None], x_pol, x_out)
+        lam_out = jnp.where(better[:, None], lam_pol, lam_out)
+
     status = jnp.where(
         final.failed,
         SQPStatus.NUMERICAL_ISSUES,
@@ -388,4 +453,4 @@ def sqp_solve_fused(
         primal_step_norm=final.prim_norm,
         dual_step_norm=final.dual_norm,
     )
-    return SQPResult(x=final.x, lam=final.lam, info=info)
+    return SQPResult(x=x_out, lam=lam_out, info=info)

@@ -122,6 +122,7 @@ class SQPSettings:
     )
     qp_warm_start: bool = True
     qp_impl: str = "fused"
+    polish: bool = False
     jacobian_mode: str = "fwd"
     termination: str = "step_norm"
     schedule: str = "early_exit"
