@@ -143,6 +143,28 @@ def main():
         f"p99={np.percentile(iters,99):.0f}"
     )
 
+    # ---- supplementary: n=128 SQP config (north-star "n <= 128") -----------
+    B2, N2 = 1024, 128
+    build128 = make_problem_generator(B2, N2, jnp.float32)
+    import dataclasses
+
+    settings128 = dataclasses.replace(settings, qp_impl="fused")
+
+    def run128(key):
+        problem, x0 = build128(key)
+        return sqp_solve_batch(problem, x0, None, settings128, impl="fused")
+
+    solve128 = jax.jit(run128)
+    _ = np.asarray(solve128(jax.random.PRNGKey(0)).x)
+    t0 = time.perf_counter()
+    r128 = solve128(jax.random.PRNGKey(1))
+    _ = np.asarray(r128.x)
+    t128 = time.perf_counter() - t0
+    log(
+        f"sqp batch n=128: B={B2} time={t128*1e3:.0f}ms -> {B2/t128:.0f} solves/s; "
+        f"solved={float(np.mean(np.asarray(r128.info.status)==0)):.3f}"
+    )
+
     # ---- supplementary: batched QP throughput -------------------------------
     qp_settings = QPSettings(
         alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=200,
