@@ -13,7 +13,6 @@ vmap" (BASELINE.json configs[3]).  Two generators:
 from __future__ import annotations
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from sqp_solver_tpu.qp.types import QuadraticProblem

@@ -18,7 +18,6 @@ import enum
 from typing import Any, Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from sqp_solver_tpu.qp.types import QPSettings
 

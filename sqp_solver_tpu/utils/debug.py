@@ -4,8 +4,6 @@ dynamic-size bug, ``include/solvers/utils.hpp:23``; this one is correct)."""
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["print_qp", "is_psd"]
