@@ -257,6 +257,41 @@ def _cg_is_failure(factor):
     return jnp.zeros((), jnp.bool_)
 
 
+# ---------------------------------------------------------------------------
+# Schur Cholesky with per-iteration back-substitution (large-n variant)
+# ---------------------------------------------------------------------------
+
+
+def _schur_tri_factor(P, A, sigma, rho_vec):
+    """Large-n variant: store L and back-solve per iteration.  The explicit
+    inverse (default path) is the right trade at small n (batched
+    triangular solves are slow, matvecs cheap), but its triangular solve
+    against a full identity is an XLA compile hog and an O(n^3) memory
+    writer at n in the thousands."""
+    with jax.default_matmul_precision("highest"):
+        M = _schur_matrix(P, A, sigma, rho_vec)
+        L = jnp.linalg.cholesky(M)
+    return {"L": L, "M": M, "diag_nan": jnp.any(jnp.isnan(L))}
+
+
+def _schur_tri_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
+    b = rhs1 + _mv(A.mT, rho_vec * rhs2)
+    L = factor["L"]
+
+    def cho(v):
+        w = jax.scipy.linalg.solve_triangular(L, v[..., None], lower=True)[..., 0]
+        return jax.scipy.linalg.solve_triangular(L.mT, w[..., None], lower=False)[..., 0]
+
+    x = cho(b)
+    for _ in range(refine_steps):
+        x = x + cho(b - _mv(factor["M"], x))
+    return x
+
+
+def _schur_tri_is_failure(factor):
+    return factor["diag_nan"]
+
+
 def _fallback_solve_xz(solve):
     def solve_xz(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
         x = solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps)
@@ -274,6 +309,12 @@ _REGISTRY = {
     ),
     "cg": LinearSolver(
         _cg_factor, _cg_solve, _fallback_solve_xz(_cg_solve), _cg_is_failure
+    ),
+    "schur_cholesky_tri": LinearSolver(
+        _schur_tri_factor,
+        _schur_tri_solve,
+        _fallback_solve_xz(_schur_tri_solve),
+        _schur_tri_is_failure,
     ),
 }
 

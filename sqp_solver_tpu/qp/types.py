@@ -126,7 +126,9 @@ class QPSettings:
             raise ValueError("adaptive_rho_tolerance must be > 1")
         if self.adaptive_rho_interval <= 0:
             raise ValueError("adaptive_rho_interval must be > 0")
-        if self.linear_solver not in ("schur_cholesky", "kkt_ldlt", "cg"):
+        if self.linear_solver not in (
+            "schur_cholesky", "schur_cholesky_tri", "kkt_ldlt", "cg"
+        ):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
         if self.schedule not in ("early_exit", "fixed"):
             raise ValueError(f"schedule must be 'early_exit' or 'fixed', got {self.schedule}")

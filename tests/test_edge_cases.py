@@ -43,12 +43,18 @@ class TestMixedBounds:
 
 
 class TestLargeN:
-    def test_qp_n512(self):
+    @pytest.mark.parametrize("solver", ["schur_cholesky", "schur_cholesky_tri"])
+    def test_qp_n512(self, solver):
         """Large-n config (BASELINE configs[4], CPU-scaled): Schur Cholesky
-        at n=512 through the standard path."""
+        at n=512, explicit-inverse and back-substitution variants."""
         qp = random_qp_batch(batch=1, n=512, m=600, seed=0, dtype=jnp.float64)
         res = jax.vmap(
-            lambda p: qp_solve(p, QPSettings(eps_abs=1e-5, eps_rel=1e-5, max_iter=1000))
+            lambda p: qp_solve(
+                p,
+                QPSettings(
+                    eps_abs=1e-5, eps_rel=1e-5, max_iter=1000, linear_solver=solver
+                ),
+            )
         )(qp)
         assert int(res.info.status[0]) == QPStatus.SOLVED
 
