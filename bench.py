@@ -90,11 +90,12 @@ def main():
         schedule="fixed",
         qp_impl="kernel",
         polish=True,
+        line_search_max_iter=10,
         qp=QPSettings(
             alpha=1.6,
             eps_abs=1e-4,
             eps_rel=1e-4,
-            max_iter=150,
+            max_iter=100,
             check_termination=25,
             warm_start=True,
             adaptive_rho=True,
