@@ -45,3 +45,14 @@ def test_time_solve():
     dt, out = time_solve(f, simple_qp(), reps=2)
     assert dt > 0
     assert int(out.info.status) == 0
+def test_verbose_runs():
+    """QPSettings.verbose prints the reference-format iteration table via
+    jax.debug.print without breaking the solve."""
+    import jax
+
+    from sqp_solver_tpu.models.problems import simple_qp
+    from sqp_solver_tpu.qp import QPSettings, qp_solve
+
+    res = qp_solve(simple_qp(), QPSettings(verbose=True))
+    jax.effects_barrier()
+    assert int(res.info.status) == 0
