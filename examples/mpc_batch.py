@@ -11,6 +11,10 @@ Run: python examples/mpc_batch.py [--steps 20] [--batch 512]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np

@@ -11,6 +11,10 @@ Run: python examples/portfolio_nlp.py [--batch 256] [--assets 32]
 """
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
