@@ -109,7 +109,7 @@ class Work {
             Real d = M[j * n + j];
             for (int k = 0; k < j; ++k) d -= L[j * n + k] * L[j * n + k];
             if (!(d > Real(0))) return false;
-            const Real lj = std::sqrt((double)0) == 0 ? sqrtl(d) : sqrtl(d);
+            const Real lj = sqrtl(d);
             L[j * n + j] = lj;
             for (int i = j + 1; i < n; ++i) {
                 Real s = M[i * n + j];

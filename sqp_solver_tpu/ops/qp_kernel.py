@@ -161,7 +161,18 @@ def _qp_kernel(
         Li = lax.fori_loop(0, n, inv_row, jnp.zeros_like(M))
         # Minv = Li' Li : Minv[i, j] = sum_k Li[k, i] Li[k, j]
         Minv = t_atb(Li, Li)
-        return M, Minv
+
+        # Factorization-failure flag, recovered post-hoc from the factor
+        # (avoids a per-problem scalar row in the fori carry, which trips
+        # Mosaic layout unification): a clamped pivot (indefinite M) leaves
+        # sqrt(1e-30) = 1e-15 on the diagonal, and NaN input propagates into
+        # L.  M = P + sigma I + A'rho A has pivots >= sigma = 1e-6 for valid
+        # data, so 1e-14 cleanly separates failure from small-but-valid.
+        diagL = jnp.sum(Lf * eye_n, axis=0)  # (n, TL)
+        fail = jnp.any(
+            (diagL <= 1e-14) | jnp.isnan(diagL), axis=0, keepdims=True
+        )  # (1, TL)
+        return Minv, fail
 
     def stats(x, z, y):
         Ax = _mm_t(A, x[None, :, :])  # (m, TL)
@@ -189,8 +200,12 @@ def _qp_kernel(
     # --- main schedule: static epochs, fori chunks, fori iterations --------
     x, z, y = x_ref[:], z_ref[:], y_ref[:]
     done = jnp.zeros((1, TL), jnp.bool_)
+    failv = jnp.zeros((1, TL), jnp.bool_)
     itc = jnp.zeros((1, TL), jnp.float32)
     rho = jnp.full((1, TL), rho0, dtype)
+    # reference counts the setup rho_vec_update (src/qp.cpp:34): starts at 1
+    rho_upd = jnp.ones((1, TL), jnp.float32)
+    rho_est = jnp.zeros((1, TL), dtype)
     rp = jnp.zeros((1, TL), dtype)
     rd = jnp.zeros((1, TL), dtype)
     mz = jnp.zeros((1, TL), dtype)
@@ -198,7 +213,8 @@ def _qp_kernel(
 
     for _ in range(n_epochs):
         rho_vec = rho_from(rho)
-        M, Minv = factor(rho_vec)
+        Minv, fail = factor(rho_vec)
+        failv = failv | (fail & ~done)
 
         # chunks unrolled (static count): per-problem scalar rows in a
         # fori carry trip Mosaic's layout unification ((1, TL) values get
@@ -208,7 +224,7 @@ def _qp_kernel(
                 return admm_iter(*xzy, Minv, rho_vec)
 
             xn, zn, yn = lax.fori_loop(0, seg, it, (x, z, y))
-            act = ~done
+            act = (~done) & (~failv)
             x = jnp.where(act, xn, x)
             z = jnp.where(act, zn, z)
             y = jnp.where(act, yn, y)
@@ -231,8 +247,10 @@ def _qp_kernel(
             changed = (
                 (new_rho < rho / adaptive_rho_tolerance)
                 | (new_rho > rho * adaptive_rho_tolerance)
-            ) & (~done)
+            ) & (~done) & (~failv)
             rho = jnp.where(changed, new_rho, rho)
+            rho_upd = rho_upd + changed.astype(jnp.float32)
+            rho_est = jnp.where((~done) & (~failv), new_rho, rho_est)
 
     xo_ref[:] = x
     zo_ref[:] = z
@@ -243,6 +261,9 @@ def _qp_kernel(
             itc.astype(dtype),
             rp.astype(dtype),
             rd.astype(dtype),
+            failv.astype(dtype),
+            rho_upd.astype(dtype),
+            rho_est.astype(dtype),
         ],
         axis=0,
     )
@@ -283,12 +304,12 @@ def _qp_kernel_call(
         grid=grid,
         in_specs=[spec(n, n), spec(m, n), spec(n), spec(m), spec(m),
                   spec(n), spec(m), spec(m)],
-        out_specs=(spec(n), spec(m), spec(m), spec(4)),
+        out_specs=(spec(n), spec(m), spec(m), spec(7)),
         out_shape=(
             jax.ShapeDtypeStruct((n, B), qt.dtype),
             jax.ShapeDtypeStruct((m, B), qt.dtype),
             jax.ShapeDtypeStruct((m, B), qt.dtype),
-            jax.ShapeDtypeStruct((4, B), qt.dtype),
+            jax.ShapeDtypeStruct((7, B), qt.dtype),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
@@ -362,12 +383,17 @@ def qp_solve_kernel(
     )
     x, z, y, st = (jnp.moveaxis(v, -1, 0) for v in (x, z, y, st))
     done = st[:, 0] > 0.5
-    status = jnp.where(done, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED).astype(jnp.int32)
+    failed = st[:, 4] > 0.5
+    status = jnp.where(
+        failed,
+        QPStatus.NUMERICAL_ISSUES,
+        jnp.where(done, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED),
+    ).astype(jnp.int32)
     info = QPInfo(
         status=status,
-        iter=st[:, 1].astype(jnp.int32),
-        rho_updates=jnp.zeros((B,), jnp.int32),
-        rho_estimate=jnp.zeros((B,), dtype),
+        iter=jnp.minimum(st[:, 1].astype(jnp.int32), settings.max_iter),
+        rho_updates=st[:, 5].astype(jnp.int32),
+        rho_estimate=st[:, 6],
         res_prim=st[:, 2],
         res_dual=st[:, 3],
     )

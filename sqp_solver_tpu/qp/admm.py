@@ -125,10 +125,15 @@ def qp_solve(
     if state is None:
         state = QPState.zeros(n, m, dtype)
 
-    # Static schedule: inner chunk length and rho-epoch length.
+    # Static schedule: inner chunk length and rho-epoch length.  The epoch
+    # length is rounded UP to a multiple of the chunk length (matching
+    # admm_batched): iterations advance in steps of `seg`, so a non-multiple
+    # interval would only hit `iter % interval == 0` at the LCM and delay
+    # (or skip) rho adaptation.
     interval = settings.adaptive_rho_interval if settings.adaptive_rho else settings.max_iter
     check = settings.check_termination
     seg = check if check > 0 else min(interval, settings.max_iter)
+    interval = -(-interval // seg) * seg
 
     def admm_chunk(factor, rho_vec, x, z, y):
         rho_inv = 1.0 / rho_vec
@@ -255,7 +260,9 @@ def qp_solve(
         max_Ax_z=zero,
         max_Px_ATy_q=zero,
         rho_estimate=zero,
-        rho_updates=jnp.zeros((), jnp.int32),
+        # the reference counts the setup rho_vec_update too
+        # (src/qp.cpp:34 -> info.rho_updates++), so it reports >= 1
+        rho_updates=jnp.ones((), jnp.int32),
     )
 
     final = lax.while_loop(outer_cond, outer_body, init)
@@ -267,7 +274,9 @@ def qp_solve(
     ).astype(jnp.int32)
     info = QPInfo(
         status=status,
-        iter=final.iter,
+        # iterations run in chunks of `seg`, so the executed count can
+        # overshoot max_iter by up to seg-1; report the reference's cap
+        iter=jnp.minimum(final.iter, settings.max_iter),
         rho_updates=final.rho_updates,
         rho_estimate=final.rho_estimate,
         res_prim=final.res_prim,

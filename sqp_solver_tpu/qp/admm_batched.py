@@ -241,7 +241,8 @@ def qp_solve_fused(
         max_Ax_z=zeros_b,
         max_Px_ATy_q=zeros_b,
         rho_estimate=zeros_b,
-        rho_updates=jnp.zeros((B,), jnp.int32),
+        # reference counts the setup rho_vec_update too (src/qp.cpp:34)
+        rho_updates=jnp.ones((B,), jnp.int32),
     )
 
     if settings.schedule == "fixed":
@@ -259,7 +260,7 @@ def qp_solve_fused(
     ).astype(jnp.int32)
     info = QPInfo(
         status=status,
-        iter=final.iter,
+        iter=jnp.minimum(final.iter, settings.max_iter),
         rho_updates=final.rho_updates,
         rho_estimate=final.rho_estimate,
         res_prim=final.res_prim,

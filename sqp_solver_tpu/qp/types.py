@@ -101,6 +101,11 @@ class QPSettings:
     eps_abs: float = 1e-3
     max_iter: int = 1000
     check_termination: int = 25
+    # warm_start is honored by the stateful wrapper (qp.api.QPSolver):
+    # consecutive solve() calls reuse the previous iterate, the intended
+    # reference semantics (its reset is a no-op bug, src/qp.cpp:78-82).
+    # The functional solvers ignore it: there, passing `state` IS the warm
+    # start — explicit state always wins, whatever this flag says.
     warm_start: bool = False
     adaptive_rho: bool = False
     adaptive_rho_tolerance: float = 5.0

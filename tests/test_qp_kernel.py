@@ -52,3 +52,36 @@ class TestWholeQPKernel:
         first = qp_solve_kernel(qp, SETTINGS, interpret=True)
         again = qp_solve_kernel(qp, SETTINGS, state=first.state, interpret=True)
         assert np.asarray(again.info.iter).max() <= np.asarray(first.info.iter).max()
+
+    def test_indefinite_P_reports_numerical_issues(self):
+        # a clamped Cholesky pivot must surface as NUMERICAL_ISSUES for the
+        # poisoned problem only — not silently return garbage, and not
+        # poison batch-mates
+        qp = random_qp_batch(batch=4, n=6, m=9, seed=3, dtype=jnp.float32)
+        P_bad = qp.P.at[1].set(-10.0 * jnp.eye(6, dtype=jnp.float32))
+        bad_batch = type(qp)(P=P_bad, q=qp.q, A=qp.A, l=qp.l, u=qp.u)
+        out = qp_solve_kernel(bad_batch, SETTINGS, interpret=True)
+        status = np.asarray(out.info.status)
+        assert status[1] == QPStatus.NUMERICAL_ISSUES
+        assert np.all(status[[0, 2, 3]] == QPStatus.SOLVED)
+
+    def test_info_fidelity_vs_fused(self):
+        # rho_updates / rho_estimate must be real values (drop-in equivalent
+        # with the other tiers), not zero placeholders
+        qp = random_qp_batch(batch=8, n=6, m=9, seed=11, dtype=jnp.float32)
+        ref = qp_solve_fused(qp, SETTINGS, backend="xla")
+        out = qp_solve_kernel(qp, SETTINGS, interpret=True)
+        # reference counts the setup rho_vec_update: always >= 1
+        assert np.asarray(out.info.rho_updates).min() >= 1
+        ok = (np.asarray(ref.info.status) == 0) & (np.asarray(out.info.status) == 0)
+        np.testing.assert_allclose(
+            np.asarray(out.info.rho_updates)[ok],
+            np.asarray(ref.info.rho_updates)[ok],
+        )
+        # estimates derive from residuals, which differ slightly between
+        # tiers (arithmetic ordering); agreement is qualitative
+        np.testing.assert_allclose(
+            np.asarray(out.info.rho_estimate)[ok],
+            np.asarray(ref.info.rho_estimate)[ok],
+            rtol=0.15,
+        )
