@@ -71,6 +71,12 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compilation cache: works with the remote compiler; the
+    # traced programs are identical across bench runs
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     from sqp_solver_tpu.models.mpc import random_qp_batch
     from sqp_solver_tpu.parallel.batch import qp_solve_batch, sqp_solve_batch
     from sqp_solver_tpu.qp import QPSettings

@@ -9,9 +9,11 @@ ride the 128 VPU lanes and the sequential small-matrix algorithms
 Everything lives in VMEM for the whole solve:
 
     classify rho  ->  for each rho epoch:
+                          [skip unless some active lane changed rho]
                           M = P + sigma I + A' diag(rho) A
                           L = chol(M);  Minv = L^-T L^-1   (in-kernel)
-                          for each chunk: `seg` ADMM iterations
+                          for each chunk: [skip if all lanes done]
+                              `seg` ADMM iterations
                           residuals, per-problem done masks, rho estimate
 
 This eliminates the per-chunk kernel-launch + operand re-layout cost of
@@ -19,6 +21,22 @@ the chunked design (measured ~30 ms per chunk at B=4096 against ~2 ms of
 kernel compute) and never materializes the (B, D, D) iteration operator in
 HBM at all.  Exploiting the block structure (apply M^-1 and A separately)
 also does ~30% fewer MACs per iteration than the fused-W form.
+
+Two properties matter for the throughput story:
+
+* **On-device early exit.**  ``lax.cond`` inside a Pallas kernel runs on
+  the TPU scalar core — unlike an XLA-level while_loop condition, which
+  host-syncs (~19 ms each through a tunneled chip).  Chunks are skipped
+  once every lane in the tile converges, and the per-epoch factorization
+  is skipped unless some still-active lane actually changed rho.  With
+  warm starts (the SQP loop), most tiles converge in the first chunk of
+  later outer iterations, so the fixed schedule costs almost nothing.
+
+* **Blocked, shrinking factorization.**  The Cholesky / triangular-inverse
+  / L'L loops process columns in blocks and statically shrink the trailing
+  view after each block (Python-unrolled blocks => static shapes), cutting
+  the factorization's VPU work from ~3 n^3 to ~1.4 n^3 per problem — the
+  difference between n = 128 fitting the solve budget or not.
 
 Semantics match qp.admm_batched / qp.admm with schedule="fixed" (same
 iterate math, same termination cadence, chunk-granular freezing);
@@ -52,16 +70,36 @@ from sqp_solver_tpu.qp.types import (
     QuadraticProblem,
 )
 
-__all__ = ["qp_solve_kernel", "pick_lane_tile"]
+__all__ = ["qp_solve_kernel", "sqp_step_kernel", "pick_lane_tile"]
+
+# column/row block for the shrinking factorization loops: large enough to
+# amortize the per-block slice bookkeeping, small enough that the trailing
+# views shrink meaningfully at n = 128
+_FACTOR_BLOCK = 32
+
+# VMEM is 128 MB on v5e; vmem_limit_bytes bounds the kernel's scoped stack
+# (input/output pipeline buffers are accounted separately by Mosaic), so ask
+# for the whole chip minus a little headroom and let pick_lane_tile keep the
+# estimated live set under ~60% of it (measured: the Mosaic stack runs ~10%
+# above the analytic estimate, plus double-buffered operands)
+_VMEM_CAP = 127 * 1024 * 1024
 
 
-def pick_lane_tile(n: int, m: int, vmem_budget: int = 10 * 1024 * 1024) -> int:
-    """Problems per program (lane tile): 128 when the ~6 (n x n / m x n)
-    matrices fit VMEM, halved otherwise (multiples of 128 lanes are
-    what the VPU wants; smaller tiles waste lanes)."""
-    per_lane = 4 * (4 * n * n + 2 * m * n + 10 * (n + m))
+def _vmem_bytes_per_lane(n: int, m: int) -> int:
+    """Peak live f32 words per problem lane inside the kernel: P, A, Minv
+    persistent; T + L + Li transient during factorization; ~24 vector rows
+    (iterates, bounds, rhs, stats)."""
+    return 4 * (5 * n * n + 2 * m * n + 24 * (n + m))
+
+
+def pick_lane_tile(n: int, m: int, vmem_budget: int = _VMEM_CAP) -> int:
+    """Problems per program (lane tile): 128 when the kernel's live set
+    fits VMEM, halved otherwise (multiples of 128 lanes are what the VPU
+    wants; smaller tiles waste lanes)."""
+    per_lane = _vmem_bytes_per_lane(n, m)
     tl = 128
-    while tl > 8 and per_lane * tl * 2 > vmem_budget:
+    # stack estimate + 2x double-buffered operands must fit the chip
+    while tl > 8 and per_lane * tl + 2 * 4 * (n * n + m * n) * tl > vmem_budget:
         tl //= 2
     return tl
 
@@ -71,108 +109,216 @@ def _mm_t(A, B_, reduce_axis=1):
     return jnp.sum(A * B_, axis=reduce_axis)
 
 
-def _qp_kernel(
-    P_ref, A_ref, q_ref, l_ref, u_ref, x_ref, z_ref, y_ref,
-    xo_ref, zo_ref, yo_ref, st_ref,
-    *, n, m, sigma, alpha, rho0, eps_abs, eps_rel,
-    n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
-):
-    dtype = P_ref.dtype
-    P = P_ref[:]          # (n, n, TL)
-    A = A_ref[:]          # (m, n, TL)
-    q = q_ref[:]          # (n, TL)
-    l = l_ref[:]          # (m, TL)
-    u = u_ref[:]          # (m, TL)
-    TL = q.shape[-1]
+def _t_atb(A1, A2):
+    """out[i, j, :] = sum_k A1[k, i, :] * A2[k, j, :] — row loop via
+    fori with masked extraction.  (A broadcast formulation would
+    materialize a 4-D (k, r, c, TL) intermediate, ~17 MB at n=32 /
+    TL=128: VMEM OOM; a python-unrolled loop compiles too slowly.)"""
+    k, r = A1.shape[0], A1.shape[1]
+    c = A2.shape[1]
+    iota_mid = lax.broadcasted_iota(jnp.int32, (k, r, 1), 1)
+    iota_out = lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
 
-    row_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-    col_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-    eye_n = (row_i == col_i).astype(dtype)  # (n, n, 1)
+    def body(i, out):
+        a1i = jnp.sum(A1 * (iota_mid == i).astype(A1.dtype), axis=1)  # (k, TL)
+        contrib = jnp.sum(a1i[:, None, :] * A2, axis=0)  # (c, TL)
+        return out + (iota_out == i).astype(A1.dtype) * contrib[None, :, :]
 
-    # --- constraint classification (reference src/qp.cpp:284-314) ----------
-    loose = (l < -LOOSE_BOUNDS_THRESH) & (u > LOOSE_BOUNDS_THRESH)
-    equality = (u - l) < RHO_TOL
+    out0 = jnp.zeros((r, c, A1.shape[-1]), A1.dtype)
+    return lax.fori_loop(0, r, body, out0)
 
-    def rho_from(rho_scalar):  # rho_scalar: (1, TL)
-        return jnp.where(
-            loose, RHO_MIN, jnp.where(equality, RHO_EQ_FACTOR * rho_scalar, rho_scalar)
-        )
 
-    def t_atb(A1, A2):
-        """out[i, j, :] = sum_k A1[k, i, :] * A2[k, j, :] — row loop via
-        fori with masked extraction.  (A broadcast formulation would
-        materialize a 4-D (k, r, c, TL) intermediate, ~17 MB at n=32 /
-        TL=128: VMEM OOM; a python-unrolled loop compiles too slowly.)"""
-        k, r = A1.shape[0], A1.shape[1]
-        c = A2.shape[1]
-        iota_mid = lax.broadcasted_iota(jnp.int32, (k, r, 1), 1)
-        iota_out = lax.broadcasted_iota(jnp.int32, (r, 1, 1), 0)
+def _chol_blocked(M, cb=_FACTOR_BLOCK):
+    """Lane-vectorized lower Cholesky of an (n, n, TL) SPD batch.
 
-        def body(i, out):
-            a1i = jnp.sum(A1 * (iota_mid == i).astype(A1.dtype), axis=1)  # (k, TL)
-            contrib = jnp.sum(a1i[:, None, :] * A2, axis=0)  # (c, TL)
-            return out + (iota_out == i).astype(A1.dtype) * contrib[None, :, :]
+    Right-looking with rank-1 updates, processed in Python-unrolled column
+    blocks; after each block the trailing view shrinks statically, so total
+    update work is ~n^3/3 (+O(cb/n)) instead of the n^3 of a fixed-view
+    column loop.  Returns (L, fail) with fail (1, TL): a clamped pivot
+    (indefinite/NaN input) leaves sqrt(1e-30) = 1e-15 on the diagonal;
+    valid data has pivots >= sigma = 1e-6, so 1e-14 separates cleanly.
+    """
+    n, TL = M.shape[0], M.shape[-1]
+    dtype = M.dtype
+    panels = []  # column panels, assembled by concatenation (pallas TPU
+    # has no dynamic_update_slice lowering; block offsets are static)
+    T = M
+    # fail carried as f32 0/1: vector bools in scf.for/scf.if carries fail
+    # Mosaic legalization ("failed to legalize operation 'scf.if'")
+    fail = jnp.zeros((1, TL), dtype)
+    for r0 in range(0, n, cb):
+        nb = n - r0
+        b = min(cb, nb)
+        cols3 = lax.broadcasted_iota(jnp.int32, (nb, nb, 1), 1)
+        rows2 = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+        pcols = lax.broadcasted_iota(jnp.int32, (nb, b, 1), 1)
 
-        out0 = jnp.zeros((r, c, A1.shape[-1]), A1.dtype)
-        return lax.fori_loop(0, r, body, out0)
-
-    def factor(rho_vec):
-        """M = P + sigma I + A' diag(rho) A; Minv via in-kernel Cholesky +
-        lane-vectorized triangular inversion."""
-        SA = A * rho_vec[:, None, :]  # (m, n, TL)
-        # M[i, j] = P[i, j] + sum_k A[k, i] * SA[k, j]
-        M = P + sigma * eye_n + t_atb(A, SA)
-
-        # right-looking Cholesky, column loop (lane-vectorized over TL)
-        def chol_col(j, LM):
-            Lc, Mc = LM
+        def col_step(j, carry):
+            T, Pn, flag = carry
+            colj = jnp.sum(T * (cols3 == j).astype(dtype), axis=1)  # (nb, TL)
+            # pivot from the extracted column (a (nb, TL) mask-reduce) — not
+            # from the full matrix (a second (nb, nb, TL) pass)
             dj = jnp.sum(
-                Mc * ((row_i == j) & (col_i == j)).astype(dtype), axis=0
-            ).sum(axis=0, keepdims=True)  # (1, TL)
-            inv_sq = lax.rsqrt(jnp.maximum(dj, 1e-30))  # (1, TL)
-            colj = jnp.sum(Mc * (col_i == j).astype(dtype), axis=1)  # (n, TL)
-            rows = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
-            # column j of L: sqrt(dj) on the diagonal, colj/sqrt(dj) below
-            lcol = jnp.where(rows > j, colj * inv_sq, 0.0)
-            lcol = lcol + jnp.where(
-                rows == j, jnp.sqrt(jnp.maximum(dj, 1e-30)), 0.0
+                colj * (rows2 == j).astype(dtype), axis=0, keepdims=True
+            )  # (1, TL)
+            flag = jnp.maximum(
+                flag, ((dj <= 0.0) | jnp.isnan(dj)).astype(dtype)
             )
-            Lc = Lc + lcol[:, None, :] * (col_i == j).astype(dtype)
-            # trailing rank-1 update M -= lcol lcol'
-            Mc = Mc - lcol[:, None, :] * lcol[None, :, :]
-            return Lc, Mc
+            djc = jnp.maximum(dj, 1e-30)
+            inv_sq = lax.rsqrt(djc)
+            lcol = jnp.where(rows2 > j, colj * inv_sq, 0.0) + jnp.where(
+                rows2 == j, jnp.sqrt(djc), 0.0
+            )
+            Pn = Pn + lcol[:, None, :] * (pcols == j).astype(dtype)
+            T = T - lcol[:, None, :] * lcol[None, :, :]
+            return T, Pn, flag
 
-        L0 = jnp.zeros_like(M)
-        Lf, _ = lax.fori_loop(0, n, chol_col, (L0, M))
+        T, Pn, fail = lax.fori_loop(
+            0, b, col_step, (T, jnp.zeros((nb, b, TL), dtype), fail)
+        )
+        if r0 > 0:
+            Pn = jnp.concatenate([jnp.zeros((r0, b, TL), dtype), Pn], axis=0)
+        panels.append(Pn)
+        T = T[b:, b:, :]
+    L = panels[0] if len(panels) == 1 else jnp.concatenate(panels, axis=1)
+    return L, fail
 
-        # forward substitution for X = L^-1 (row loop, lane-vectorized):
-        # X[j, :] = (I[j, :] - sum_{k<j} L[j, k] X[k, :]) / L[j, j]
-        def inv_row(j, X):
-            Lrow = jnp.sum(Lf * (row_i == j).astype(dtype), axis=0)  # (n, TL) = L[j, :]
+
+def _tri_inv_blocked(L, cb=_FACTOR_BLOCK):
+    """Lane-vectorized Li = L^-1 for lower-triangular (n, n, TL) L.
+
+    Row-blocked forward substitution: the contribution of already-computed
+    row blocks is contracted over a statically-sliced prefix (total ~n^3/2
+    vs n^3 for the fixed-view row loop)."""
+    n, TL = L.shape[0], L.shape[-1]
+    dtype = L.dtype
+    blocks = []  # row blocks of Li, concatenated at the end
+    col_n = lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+    for r0 in range(0, n, cb):
+        b = min(cb, n - r0)
+        Lpan = L[r0 : r0 + b, :, :]  # (b, n, TL)
+        # previous-blocks contribution C[i, :] = sum_{k<r0} L[r0+i, k] Li[k, :]
+        if r0 > 0:
+            Lprev = Lpan[:, :r0, :]  # (b, r0, TL)
+            Xprev = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+            riota_prev = lax.broadcasted_iota(jnp.int32, (b, r0, 1), 0)
+
+            def prev_row(i, C):
+                lrow = jnp.sum(
+                    Lprev * (riota_prev == i).astype(dtype), axis=0
+                )  # (r0, TL)
+                ci = jnp.sum(lrow[:, None, :] * Xprev, axis=0)  # (n, TL)
+                return C + ci[None, :, :] * (
+                    lax.broadcasted_iota(jnp.int32, (b, 1, 1), 0) == i
+                ).astype(dtype)
+
+            C = lax.fori_loop(0, b, prev_row, jnp.zeros((b, n, TL), dtype))
+        else:
+            C = jnp.zeros((b, n, TL), dtype)
+
+        Lblk = Lpan[:, r0 : r0 + b, :]  # (b, b, TL) diagonal block
+        briota = lax.broadcasted_iota(jnp.int32, (b, b, 1), 0)
+        bciota = lax.broadcasted_iota(jnp.int32, (b, b, 1), 1)
+        kiota = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+        def row_step(i, Xb):
+            # acc = C[i] + sum_{k<i} Lblk[i, k] Xb[k, :]
+            ci = jnp.sum(
+                C * (lax.broadcasted_iota(jnp.int32, (b, 1, 1), 0) == i).astype(dtype),
+                axis=0,
+            )  # (n, TL)
+            lrow_blk = jnp.sum(Lblk * (briota == i).astype(dtype), axis=0)  # (b, TL)
+            lrow_blk = jnp.where(kiota < i, lrow_blk, 0.0)
+            acc = ci + jnp.sum(lrow_blk[:, None, :] * Xb, axis=0)
             ljj = jnp.sum(
-                Lf * ((row_i == j) & (col_i == j)).astype(dtype), axis=0
-            ).sum(axis=0, keepdims=True)  # (1, TL)
-            below = (lax.broadcasted_iota(jnp.int32, (n, 1), 0) < j).astype(dtype)
-            acc = jnp.sum((Lrow * below)[:, None, :] * X, axis=0)
-            ej = (lax.broadcasted_iota(jnp.int32, (n, 1), 0) == j).astype(dtype)
-            newrow = (ej - acc) / jnp.maximum(ljj, 1e-30)
-            return X + newrow[None, :, :] * (row_i == j).astype(dtype)
+                jnp.sum(Lblk * ((briota == i) & (bciota == i)).astype(dtype), axis=0),
+                axis=0,
+                keepdims=True,
+            )  # (1, TL)
+            e_i = (col_n == (r0 + i)).astype(dtype)  # (n, 1)
+            newrow = (e_i - acc) / jnp.maximum(ljj, 1e-30)
+            return Xb + newrow[None, :, :] * (
+                lax.broadcasted_iota(jnp.int32, (b, 1, 1), 0) == i
+            ).astype(dtype)
 
-        Li = lax.fori_loop(0, n, inv_row, jnp.zeros_like(M))
-        # Minv = Li' Li : Minv[i, j] = sum_k Li[k, i] Li[k, j]
-        Minv = t_atb(Li, Li)
+        Xb = lax.fori_loop(0, b, row_step, jnp.zeros((b, n, TL), dtype))
+        blocks.append(Xb)
+    return blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
 
-        # Factorization-failure flag, recovered post-hoc from the factor
-        # (avoids a per-problem scalar row in the fori carry, which trips
-        # Mosaic layout unification): a clamped pivot (indefinite M) leaves
-        # sqrt(1e-30) = 1e-15 on the diagonal, and NaN input propagates into
-        # L.  M = P + sigma I + A'rho A has pivots >= sigma = 1e-6 for valid
-        # data, so 1e-14 cleanly separates failure from small-but-valid.
-        diagL = jnp.sum(Lf * eye_n, axis=0)  # (n, TL)
-        fail = jnp.any(
-            (diagL <= 1e-14) | jnp.isnan(diagL), axis=0, keepdims=True
-        )  # (1, TL)
-        return Minv, fail
+
+def _ltl_blocked(Li, cb=_FACTOR_BLOCK):
+    """Minv = Li' Li for lower-triangular (n, n, TL) Li, exploiting the
+    triangular support: out[i, j] = sum_{k >= max(i,j)} Li[k,i] Li[k,j],
+    so row block [r0, r0+b) only contracts over the k >= r0 suffix
+    (total ~n^3/2 vs n^3 for a full contraction)."""
+    n, TL = Li.shape[0], Li.shape[-1]
+    dtype = Li.dtype
+    out_blocks = []
+    for r0 in range(0, n, cb):
+        b = min(cb, n - r0)
+        V = Li[r0:, :, :]  # (n-r0, n, TL)
+        ciota = lax.broadcasted_iota(jnp.int32, V.shape[:2] + (1,), 1)
+
+        def row(i, Out):
+            vi = jnp.sum(V * (ciota == (r0 + i)).astype(dtype), axis=1)  # (n-r0, TL)
+            ci = jnp.sum(vi[:, None, :] * V, axis=0)  # (n, TL)
+            return Out + ci[None, :, :] * (
+                lax.broadcasted_iota(jnp.int32, (b, 1, 1), 0) == i
+            ).astype(dtype)
+
+        Out = lax.fori_loop(0, b, row, jnp.zeros((b, n, TL), dtype))
+        out_blocks.append(Out)
+    return (
+        out_blocks[0] if len(out_blocks) == 1 else jnp.concatenate(out_blocks, axis=0)
+    )
+
+
+def _factor_schur(P, A, rho_vec, sigma, eye_n):
+    """M = P + sigma I + A' diag(rho) A; Minv via blocked in-kernel
+    Cholesky + triangular inversion.  Returns (Minv, fail (1, TL) f32)."""
+    SA = A * rho_vec[:, None, :]  # (m, n, TL)
+    M = P + sigma * eye_n + _t_atb(A, SA)
+    L, fail = _chol_blocked(M)
+    Li = _tri_inv_blocked(L)
+    Minv = _ltl_blocked(Li)
+    return Minv, fail
+
+
+def _rho_from(rho_scalar, loose, equality):
+    """Per-constraint rho from classification masks (src/qp.cpp:284-314)."""
+    return jnp.where(
+        loose, RHO_MIN, jnp.where(equality, RHO_EQ_FACTOR * rho_scalar, rho_scalar)
+    )
+
+
+def _admm_core(
+    P, A, q, l, u, x, z, y, done, failv, rho, Minv, pending,
+    *, sigma, alpha, eps_abs, eps_rel, n_epochs, chunks_per_epoch, seg,
+    adaptive_rho, adaptive_rho_tolerance, eye_n, loose, equality,
+):
+    """The whole ADMM solve for one lane tile, in transposed layout.
+
+    Nested while_loops over rho epochs and termination chunks (on the TPU
+    scalar core — no host sync): exact early exit, and code size
+    independent of max_iter (an unrolled-chunks variant compiled in
+    minutes at n=128).  All per-lane flags are f32 0/1 rows, never bool:
+    vector i1 carries through scf.if/scf.for fail Mosaic legalization.
+
+    Entry state lets callers compose: `done` pre-set to 1 freezes a lane
+    (SQP-level inactivity), `pending`/`Minv` control whether the first
+    epoch factors (the SQP step kernel factors outside for its posdef
+    fallback; SOC re-solves reuse the factor entirely).
+    """
+    dtype = P.dtype
+    TL = q.shape[-1]
+    itc = jnp.zeros((1, TL), dtype)
+    # reference counts the setup rho_vec_update (src/qp.cpp:34): starts at 1
+    rho_upd = jnp.ones((1, TL), dtype)
+    rho_est = jnp.zeros((1, TL), dtype)
+    rp = jnp.zeros((1, TL), dtype)
+    rd = jnp.zeros((1, TL), dtype)
+    mz = jnp.zeros((1, TL), dtype)
+    mq = jnp.zeros((1, TL), dtype)
 
     def stats(x, z, y):
         Ax = _mm_t(A, x[None, :, :])  # (m, TL)
@@ -197,34 +343,35 @@ def _qp_kernel(
         yn = y + rho_vec * (z_pre - zn)
         return xn, zn, yn
 
-    # --- main schedule: static epochs, fori chunks, fori iterations --------
-    x, z, y = x_ref[:], z_ref[:], y_ref[:]
-    done = jnp.zeros((1, TL), jnp.bool_)
-    failv = jnp.zeros((1, TL), jnp.bool_)
-    itc = jnp.zeros((1, TL), jnp.float32)
-    rho = jnp.full((1, TL), rho0, dtype)
-    # reference counts the setup rho_vec_update (src/qp.cpp:34): starts at 1
-    rho_upd = jnp.ones((1, TL), jnp.float32)
-    rho_est = jnp.zeros((1, TL), dtype)
-    rp = jnp.zeros((1, TL), dtype)
-    rd = jnp.zeros((1, TL), dtype)
-    mz = jnp.zeros((1, TL), dtype)
-    mq = jnp.zeros((1, TL), dtype)
+    def epoch_body(ec):
+        x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq, pending, Minv, e = ec
 
-    for _ in range(n_epochs):
-        rho_vec = rho_from(rho)
-        Minv, fail = factor(rho_vec)
-        failv = failv | (fail & ~done)
+        # factorize only if some still-active lane changed rho — skipped
+        # epochs (converged tile / stable rho) cost one scalar predicate
+        def do_factor(args):
+            Minv_old, fail_old = args
+            Minv_new, f = _factor_schur(
+                P, A, _rho_from(rho, loose, equality), sigma, eye_n
+            )
+            act_f = (1.0 - done) * (1.0 - fail_old)
+            return Minv_new, jnp.maximum(fail_old, f * act_f)
 
-        # chunks unrolled (static count): per-problem scalar rows in a
-        # fori carry trip Mosaic's layout unification ((1, TL) values get
-        # replicated layouts that can't round-trip)
-        for _ci in range(chunks_per_epoch):
+        Minv, failv = lax.cond(
+            jnp.any(pending * (1.0 - done) * (1.0 - failv) > 0.0),
+            do_factor,
+            lambda args: args,
+            (Minv, failv),
+        )
+        rho_vec_e = _rho_from(rho, loose, equality)
+
+        def chunk_body(cc):
+            x, z, y, done, itc, rp, rd, mz, mq, ci = cc
+
             def it(_, xzy):
-                return admm_iter(*xzy, Minv, rho_vec)
+                return admm_iter(*xzy, Minv, rho_vec_e)
 
             xn, zn, yn = lax.fori_loop(0, seg, it, (x, z, y))
-            act = (~done) & (~failv)
+            act = (done == 0.0) & (failv == 0.0)
             x = jnp.where(act, xn, x)
             z = jnp.where(act, zn, z)
             y = jnp.where(act, yn, y)
@@ -237,36 +384,314 @@ def _qp_kernel(
             rd = jnp.where(act, res_dual, rd)
             mz = jnp.where(act, max_Ax_z, mz)
             mq = jnp.where(act, max_Px_ATy_q, mq)
-            done = done | (act & conv)
+            done = jnp.maximum(done, (act & conv).astype(x.dtype))
+            return x, z, y, done, itc, rp, rd, mz, mq, ci + 1
+
+        def chunk_cond(cc):
+            done_c = cc[3]
+            return (cc[-1] < chunks_per_epoch) & jnp.any(
+                (1.0 - done_c) * (1.0 - failv) > 0.0
+            )
+
+        x, z, y, done, itc, rp, rd, mz, mq, _ = lax.while_loop(
+            chunk_cond,
+            chunk_body,
+            (x, z, y, done, itc, rp, rd, mz, mq, jnp.zeros((), jnp.int32)),
+        )
 
         if adaptive_rho:
             tinyv = 1e-30
             nrp = rp / (mz + tinyv)
             nrd = rd / (mq + tinyv)
             new_rho = jnp.clip(rho * jnp.sqrt(nrp / (nrd + tinyv)), RHO_MIN, RHO_MAX)
+            act = (done == 0.0) & (failv == 0.0)
             changed = (
                 (new_rho < rho / adaptive_rho_tolerance)
                 | (new_rho > rho * adaptive_rho_tolerance)
-            ) & (~done) & (~failv)
+            ) & act
             rho = jnp.where(changed, new_rho, rho)
-            rho_upd = rho_upd + changed.astype(jnp.float32)
-            rho_est = jnp.where((~done) & (~failv), new_rho, rho_est)
+            rho_upd = rho_upd + changed.astype(dtype)
+            rho_est = jnp.where(act, new_rho, rho_est)
+            pending = changed.astype(dtype)
+        return (
+            x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
+            pending, Minv, e + 1,
+        )
+
+    def epoch_cond(ec):
+        done_c, failv_c, e = ec[3], ec[4], ec[-1]
+        return (e < n_epochs) & jnp.any((1.0 - done_c) * (1.0 - failv_c) > 0.0)
+
+    ec = (
+        x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
+        pending, Minv, jnp.zeros((), jnp.int32),
+    )
+    ec = lax.while_loop(epoch_cond, epoch_body, ec)
+    # x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd (+ Minv at 14)
+    return ec
+
+
+def _qp_kernel(
+    P_ref, A_ref, q_ref, l_ref, u_ref, x_ref, z_ref, y_ref,
+    xo_ref, zo_ref, yo_ref, st_ref,
+    *, n, m, sigma, alpha, rho0, eps_abs, eps_rel,
+    n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
+):
+    dtype = P_ref.dtype
+    P = P_ref[:]          # (n, n, TL)
+    A = A_ref[:]          # (m, n, TL)
+    q = q_ref[:]          # (n, TL)
+    l = l_ref[:]          # (m, TL)
+    u = u_ref[:]          # (m, TL)
+    TL = q.shape[-1]
+
+    row_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    eye_n = (row_i == col_i).astype(dtype)  # (n, n, 1)
+
+    # constraint classification (reference src/qp.cpp:284-314)
+    loose = (l < -LOOSE_BOUNDS_THRESH) & (u > LOOSE_BOUNDS_THRESH)
+    equality = (u - l) < RHO_TOL
+
+    x, z, y = x_ref[:], z_ref[:], y_ref[:]
+    zero_row = jnp.zeros((1, TL), dtype)
+    ec = _admm_core(
+        P, A, q, l, u, x, z, y,
+        done=zero_row,
+        failv=zero_row,
+        rho=jnp.full((1, TL), rho0, dtype),
+        Minv=jnp.zeros((n, n, TL), dtype),
+        pending=jnp.ones((1, TL), dtype),
+        sigma=sigma, alpha=alpha, eps_abs=eps_abs, eps_rel=eps_rel,
+        n_epochs=n_epochs, chunks_per_epoch=chunks_per_epoch, seg=seg,
+        adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance,
+        eye_n=eye_n, loose=loose, equality=equality,
+    )
+    x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd = ec[:11]
 
     xo_ref[:] = x
     zo_ref[:] = z
     yo_ref[:] = y
     st_ref[:] = jnp.concatenate(
-        [
-            done.astype(dtype),
-            itc.astype(dtype),
-            rp.astype(dtype),
-            rd.astype(dtype),
-            failv.astype(dtype),
-            rho_upd.astype(dtype),
-            rho_est.astype(dtype),
-        ],
+        [done, itc, rp, rd, failv, rho_upd, rho_est],
         axis=0,
     )
+
+
+def _sqp_step_kernel(
+    B_ref, J_ref, g_ref, l_ref, u_ref, s_ref, dgl_ref, msk_ref,
+    x_ref, z_ref, y_ref,
+    po_ref, zo_ref, yo_ref, Bo_ref, st_ref,
+    *, n, m, sigma, alpha, rho0, eps_abs, eps_rel,
+    n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
+    do_bfgs,
+):
+    """One fused SQP subproblem step for a tile of problems:
+
+        damped BFGS update (Procedure 18.2, reference bfgs.hpp:14-41)
+        -> posdef fallback (reset-to-identity on factor failure; the
+           fixed-schedule analog of the reference's escalating-shift
+           repair, src/sqp.cpp:172-181)
+        -> whole ADMM QP solve (warm-started)
+
+    all in one kernel, transposed layout — the (B, n, n) Hessian never
+    round-trips through XLA between outer iterations.  msk rows:
+    0 = reset (k==1 or failed line search -> B := I), 1 = update allowed
+    (not a tiny step), 2 = SQP-active (inactive lanes are frozen
+    throughout and pass their warm state through).
+    """
+    dtype = B_ref.dtype
+    Bp = B_ref[:]         # (n, n, TL) current BFGS Hessian estimate
+    A = J_ref[:]          # (m, n, TL) constraint Jacobian
+    q = g_ref[:]          # (n, TL) objective gradient
+    l = l_ref[:]          # (m, TL) shifted bounds l - c(x)
+    u = u_ref[:]          # (m, TL)
+    TL = q.shape[-1]
+
+    row_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    eye_n = (row_i == col_i).astype(dtype)
+
+    msk = msk_ref[:]      # (8, TL) f32 0/1 rows
+    reset = msk[0:1]
+    upd = msk[1:2]
+    act0 = msk[2:3]
+
+    if do_bfgs:
+        eps_m = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+        tiny_pos = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        s = s_ref[:]       # (n, TL) x_k - x_{k-1}
+        yv = dgl_ref[:]    # (n, TL) grad_L_k - grad_L_{k-1}
+        Bs = jnp.sum(Bp * s[None, :, :], axis=1)  # (n, TL)
+        sBs = jnp.sum(s * Bs, axis=0, keepdims=True)  # (1, TL)
+        sy = jnp.sum(s * yv, axis=0, keepdims=True)
+        damped = sy < 0.2 * sBs
+        theta = 0.8 * sBs / jnp.maximum(sBs - sy, tiny_pos)
+        r = jnp.where(damped, theta * yv + (1.0 - theta) * Bs, yv)
+        sr = jnp.where(damped, theta * sy + (1.0 - theta) * sBs, sy)
+        Bupd = (
+            Bp
+            - (Bs[:, None, :] * Bs[None, :, :]) / jnp.maximum(sBs, tiny_pos)
+            + (r[:, None, :] * r[None, :, :]) / jnp.maximum(sr, tiny_pos)
+        )
+        keep = ((sr < eps_m) | (upd == 0.0))[:, None, :]  # (1, 1, TL)
+        Bn = jnp.where(keep, Bp, Bupd)
+        Bn = jnp.where((reset > 0.0)[:, None, :], eye_n, Bn)
+    else:
+        Bn = Bp
+
+    loose = (l < -LOOSE_BOUNDS_THRESH) & (u > LOOSE_BOUNDS_THRESH)
+    equality = (u - l) < RHO_TOL
+    rho = jnp.full((1, TL), rho0, dtype)
+    rho_vec0 = _rho_from(rho, loose, equality)
+    done0 = 1.0 - act0
+    zero_row = jnp.zeros((1, TL), dtype)
+
+    # initial factor (outside the core, so a pivot failure can repair B
+    # before the solve) — skipped entirely when the whole tile is inactive
+    def initial_factor(_):
+        return _factor_schur(Bn, A, rho_vec0, sigma, eye_n)
+
+    def skip_factor(_):
+        return jnp.zeros((n, n, TL), dtype), zero_row
+
+    Minv, f = lax.cond(jnp.any(act0 > 0.0), initial_factor, skip_factor, 0)
+    bad = f * act0  # (1, TL): posdef fallback lanes
+    Bn = jnp.where((bad > 0.0)[:, None, :], eye_n, Bn)
+
+    def refactor(args):
+        return _factor_schur(Bn, A, rho_vec0, sigma, eye_n)
+
+    Minv, f = lax.cond(jnp.any(bad > 0.0), refactor, lambda a: a, (Minv, f))
+    failv = f * act0
+
+    ec = _admm_core(
+        Bn, A, q, l, u, x_ref[:], z_ref[:], y_ref[:],
+        done=done0, failv=failv, rho=rho, Minv=Minv, pending=zero_row,
+        sigma=sigma, alpha=alpha, eps_abs=eps_abs, eps_rel=eps_rel,
+        n_epochs=n_epochs, chunks_per_epoch=chunks_per_epoch, seg=seg,
+        adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance,
+        eye_n=eye_n, loose=loose, equality=equality,
+    )
+    x, z, y, done, failv, itc, rho_f, rho_upd, rho_est, rp, rd = ec[:11]
+
+    po_ref[:] = x
+    zo_ref[:] = z
+    yo_ref[:] = y
+    Bo_ref[:] = Bn
+    st_ref[:] = jnp.concatenate(
+        [done, itc, rp, rd, failv, rho_upd, rho_est, rho_f], axis=0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "m", "sigma", "alpha", "rho0", "eps_abs", "eps_rel", "n_epochs",
+        "chunks_per_epoch", "seg", "adaptive_rho", "adaptive_rho_tolerance",
+        "lane_tile", "interpret", "do_bfgs",
+    ),
+)
+def _sqp_step_call(
+    Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt,
+    *, n, m, sigma, alpha, rho0, eps_abs, eps_rel, n_epochs,
+    chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
+    lane_tile, interpret, do_bfgs,
+):
+    B = gt.shape[-1]
+    grid = (B // lane_tile,)
+
+    def spec(*lead):
+        return pl.BlockSpec(
+            lead + (lane_tile,),
+            lambda i: (0,) * len(lead) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _sqp_step_kernel, n=n, m=m, sigma=sigma, alpha=alpha, rho0=rho0,
+        eps_abs=eps_abs, eps_rel=eps_rel, n_epochs=n_epochs,
+        chunks_per_epoch=chunks_per_epoch, seg=seg, adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance, do_bfgs=do_bfgs,
+    )
+    total_iters = n_epochs * chunks_per_epoch * seg
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(n, n), spec(m, n), spec(n), spec(m), spec(m),
+                  spec(n), spec(n), spec(8), spec(n), spec(m), spec(m)],
+        out_specs=(spec(n), spec(m), spec(m), spec(n, n), spec(8)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B), gt.dtype),
+            jax.ShapeDtypeStruct((m, B), gt.dtype),
+            jax.ShapeDtypeStruct((m, B), gt.dtype),
+            jax.ShapeDtypeStruct((n, n, B), gt.dtype),
+            jax.ShapeDtypeStruct((8, B), gt.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (n * n + 2 * m * n) * total_iters
+            + 2 * B * n * n * n * 3 * n_epochs,
+            bytes_accessed=B * (2 * n * n + m * n) * 4,
+            transcendentals=B * n * n_epochs,
+        ),
+    )(Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt)
+
+
+def sqp_step_kernel(
+    Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt,
+    settings: QPSettings,
+    do_bfgs: bool = True,
+    interpret: bool = False,
+):
+    """Fused BFGS + posdef fallback + warm-started QP solve, transposed
+    layout (problems on the last axis).
+
+    Inputs: Bt (n,n,B) Hessian, Jt (m,n,B) Jacobian, gt (n,B) gradient,
+    lt/ut (m,B) shifted bounds, st_ (n,B) step, dglt (n,B) Lagrangian
+    gradient delta, mskt (8,B) f32 rows [reset, update-allowed, active,
+    0...], xt/zt/yt warm-start iterates.  Returns (p, z, lam, B_new, st)
+    with st rows [done, iter, res_prim, res_dual, fail, rho_updates,
+    rho_estimate, rho_final].  B is padded to the lane tile internally.
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True
+    n = gt.shape[0]
+    m = lt.shape[0]
+    B = gt.shape[-1]
+
+    seg = settings.check_termination if settings.check_termination > 0 else settings.max_iter
+    interval = settings.adaptive_rho_interval if settings.adaptive_rho else settings.max_iter
+    chunks_per_epoch = max(1, -(-min(interval, settings.max_iter) // seg))
+    n_epochs = max(1, -(-settings.max_iter // (chunks_per_epoch * seg)))
+
+    lane_tile = pick_lane_tile(n, m)
+    pad = (-B) % lane_tile
+    args = (Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt)
+    if pad:
+        # pad problems on the last axis; padded lanes are inactive (msk=0)
+        args = tuple(
+            jnp.concatenate(
+                [v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1
+            )
+            for v in args
+        )
+    out = _sqp_step_call(
+        *args,
+        n=n, m=m, sigma=float(settings.sigma), alpha=float(settings.alpha),
+        rho0=float(settings.rho), eps_abs=float(settings.eps_abs),
+        eps_rel=float(settings.eps_rel), n_epochs=n_epochs,
+        chunks_per_epoch=chunks_per_epoch, seg=seg,
+        adaptive_rho=bool(settings.adaptive_rho),
+        adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
+        lane_tile=lane_tile, interpret=interpret, do_bfgs=do_bfgs,
+    )
+    if pad:
+        out = tuple(v[..., :B] for v in out)
+    return out
 
 
 @functools.partial(
@@ -312,6 +737,7 @@ def _qp_kernel_call(
             jax.ShapeDtypeStruct((7, B), qt.dtype),
         ),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * (n * n + 2 * m * n) * total_iters
             + 2 * B * n * n * n * 3 * n_epochs,
@@ -330,7 +756,7 @@ def qp_solve_kernel(
 ) -> QPResult:
     """Solve a batch of QPs with the whole-solve kernel.
 
-    Fixed schedule only (it IS a fixed schedule); schur_cholesky solve;
+    Fixed schedule with on-device early exit; schur_cholesky solve;
     rho epochs = adaptive_rho_interval.  Leaves of ``qp`` carry leading
     batch dim B.
     """

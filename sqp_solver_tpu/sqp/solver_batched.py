@@ -93,6 +93,12 @@ def sqp_solve_fused(
     """Solve a batch of NLPs: ``x0`` is (B, n); problem data leaves are
     batched (B, ...) or shared (unbatched)."""
     settings.validate()
+    if settings.qp_impl == "kernel":
+        # the fused SQP-step kernel path: BFGS + posdef fallback + QP solve
+        # in one Pallas kernel, Hessian kept in kernel layout end-to-end
+        from sqp_solver_tpu.sqp.solver_kernel import sqp_solve_kernel_fused
+
+        return sqp_solve_kernel_fused(problem, x0, lam0, settings)
     if settings.qp.linear_solver != "schur_cholesky":
         raise ValueError("sqp_solve_fused requires qp.linear_solver='schur_cholesky'")
     dtype = x0.dtype

@@ -1,0 +1,424 @@
+"""Kernel-fused batch SQP solver — the TPU flagship path.
+
+Same algorithm and semantics as :mod:`sqp_solver_tpu.sqp.solver_batched`
+(Algorithm 18.3: damped BFGS, posdef repair, l1 merit line search,
+optional SOC — reference ``src/sqp.cpp:44-101``), re-plumbed around the
+fused SQP-step Pallas kernel (:func:`sqp_solver_tpu.ops.qp_kernel.sqp_step_kernel`):
+
+* the BFGS Hessian lives in the kernel's transposed (n, n, B) layout for
+  the whole solve — it is updated, posdef-checked, and consumed by the
+  QP factorization *inside* the kernel, so no (B, n, n) matrix work or
+  layout transpose ever runs at the XLA level between outer iterations
+  (measured round 1: those transposes + batched BFGS/Cholesky were ~15 ms
+  of every 20 ms outer iteration at B=4096, n=32);
+* the constraint Jacobian is produced directly in kernel layout by
+  ``vmap(..., out_axes=-1)`` — the batch axis lands minor-most, which is
+  exactly the custom call's operand layout, so XLA inserts no relayout;
+* per-problem convergence masks feed the kernel, which skips entire
+  tiles (factorization and all) once every lane is done — late outer
+  iterations cost one scalar predicate per tile.
+
+Only the user-callable evaluations (objective/constraint linearization,
+line-search merit evaluations) and O(B·(n+m)) vector arithmetic remain in
+XLA.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from sqp_solver_tpu.ops.qp_kernel import sqp_step_kernel
+from sqp_solver_tpu.qp.types import QPState
+from sqp_solver_tpu.sqp.types import (
+    NonlinearProblem,
+    SQPInfo,
+    SQPResult,
+    SQPSettings,
+    SQPStatus,
+)
+
+__all__ = ["sqp_solve_kernel_fused"]
+
+
+def _pin_precision(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision("highest"):
+            return fn(*args, **kwargs)
+
+    return wrapped
+
+
+def _vdot(a, b):
+    return jnp.sum(a * b, axis=-1)
+
+
+def _linf(v):
+    return jnp.max(jnp.abs(v), axis=-1)
+
+
+class _Carry(NamedTuple):
+    x: jax.Array  # (B, n)
+    lam: jax.Array  # (B, m)
+    Bt: jax.Array  # (n, n, B) — kernel layout, never transposed in XLA
+    grad_L: jax.Array  # (B, n)
+    step_prev: jax.Array  # (B, n)
+    qp_state: QPState  # batch-first vectors
+    mu: jax.Array  # (B,)
+    ls_failed: jax.Array  # (B,)
+    k: jax.Array  # scalar int32
+    iter: jax.Array  # (B,)
+    done: jax.Array  # (B,)
+    failed: jax.Array  # (B,)
+    qp_iter: jax.Array  # (B,)
+    prim_norm: jax.Array  # (B,)
+    dual_norm: jax.Array  # (B,)
+
+
+@_pin_precision
+def sqp_solve_kernel_fused(
+    problem: NonlinearProblem,
+    x0: jax.Array,
+    lam0: Optional[jax.Array] = None,
+    settings: SQPSettings = SQPSettings(),
+    interpret: bool = False,
+) -> SQPResult:
+    """Solve a batch of NLPs through the fused SQP-step kernel.
+
+    ``x0`` is (B, n); problem data leaves are batched (B, ...) or shared.
+    Semantics-equivalent to ``sqp_solve_fused`` with ``qp_impl="kernel"``
+    (cross-checked by tests/test_fused_sqp.py).
+    """
+    settings.validate()
+    dtype = x0.dtype
+    B, n = x0.shape
+    l, u = problem.l, problem.u
+    m = l.shape[-1]
+    tiny = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+
+    if lam0 is None:
+        lam0 = jnp.zeros((B, m), dtype)
+
+    # ---- batched problem callables -----------------------------------------
+    params = problem.params
+    has_params = params is not None
+    f_raw = problem.objective
+    c_raw = problem.constraint
+    fl_raw = problem.objective_linearized
+    cl_raw = problem.constraint_linearized
+
+    in_axes = (0, 0) if has_params else (0,)
+
+    def call(fn, x):
+        return fn(x, params) if has_params else fn(x)
+
+    f_b = jax.vmap(f_raw, in_axes=in_axes)
+    c_b = jax.vmap(c_raw, in_axes=in_axes)
+    if fl_raw is not None:
+        f_lin_b = jax.vmap(fl_raw, in_axes=in_axes)
+    else:
+        f_lin_b = jax.vmap(
+            (lambda x, p: jax.value_and_grad(f_raw)(x, p))
+            if has_params
+            else jax.value_and_grad(f_raw),
+            in_axes=in_axes,
+        )
+    # Jacobian batched with out_axes=-1: lands in the kernel's (m, n, B)
+    # layout with the batch axis minor-most — no XLA relayout at the
+    # custom-call boundary
+    jac = jax.jacfwd if settings.jacobian_mode == "fwd" else jax.jacrev
+    if cl_raw is not None:
+        c_lin_raw = cl_raw
+    elif has_params:
+        c_lin_raw = lambda x, p: (c_raw(x, p), jac(c_raw)(x, p))
+    else:
+        c_lin_raw = lambda x: (c_raw(x), jac(c_raw)(x))
+    c_lin_b = jax.vmap(c_lin_raw, in_axes=in_axes, out_axes=(0, -1))
+
+    def constraint_norm(cv):
+        return (
+            tiny
+            + jnp.sum(jnp.maximum(l - cv, 0.0), axis=-1)
+            + jnp.sum(jnp.maximum(cv - u, 0.0), axis=-1)
+        )
+
+    def max_violation(cv):
+        return jnp.maximum(
+            0.0, jnp.maximum(jnp.max(l - cv, axis=-1), jnp.max(cv - u, axis=-1))
+        )
+
+    def merit_weight(mu_prev, p, Bq_p, grad_obj, c_val, lam_qp):
+        # Bq_p = B @ p is computed without the Hessian: at the QP optimum
+        # the KKT system gives B p = -g - J' lam_qp - sigma-term; we use
+        # the model value via the QP identity only when needed.  Simpler
+        # and exact enough for the penalty bound: use |p' B p| >= 0 lower
+        # bound 0 (the N&W 18.36 bound needs an upper estimate; we follow
+        # solver_batched and compute p' B p explicitly — here via the
+        # returned product).
+        constr_l1 = constraint_norm(c_val)
+        gp = _vdot(grad_obj, p)
+        meaningful = constr_l1 > 1e4 * tiny
+        raw = (gp + 0.5 * Bq_p) / ((1.0 - settings.rho) * constr_l1)
+        model_mu = jnp.where(meaningful, jnp.maximum(raw, 0.0), 0.0)
+        dual_mu = 1.5 * _linf(lam_qp)
+        return jnp.maximum(mu_prev, jnp.maximum(model_mu, dual_mu))
+
+    def line_search(x, p, mu, obj, grad_obj, c_val):
+        constr_l1 = constraint_norm(c_val)
+        gp = _vdot(grad_obj, p)
+        phi = obj + mu * constr_l1
+        D = gp - mu * constr_l1
+
+        def body(carry, _):
+            alpha, accepted = carry
+            x_step = x + alpha[:, None] * p
+            phi_step = call(f_b, x_step) + mu * constraint_norm(call(c_b, x_step))
+            ok = phi_step <= phi + alpha * settings.eta * D
+            accepted = accepted | ok
+            alpha = jnp.where(accepted, alpha, settings.tau * alpha)
+            return (alpha, accepted), None
+
+        (alpha, accepted), _ = lax.scan(
+            body,
+            (jnp.ones((B,), dtype), jnp.zeros((B,), jnp.bool_)),
+            None,
+            length=settings.line_search_max_iter - 1,
+            unroll=4,
+        )
+        return alpha, accepted
+
+    def kernel_qp(Bt, Jt, grad_obj, lqp, uqp, step_prev, dgl, reset, upd,
+                  active, qp_state, do_bfgs):
+        zrow = jnp.zeros((B,), dtype)
+        mskt = jnp.stack(
+            [reset.astype(dtype), upd.astype(dtype), active.astype(dtype),
+             zrow, zrow, zrow, zrow, zrow],
+            axis=0,
+        )  # (8, B)
+        if settings.qp_warm_start:
+            xt, zt, yt = qp_state.x.T, qp_state.z.T, qp_state.y.T
+        else:
+            xt = jnp.zeros((n, B), dtype)
+            zt = jnp.zeros((m, B), dtype)
+            yt = jnp.zeros((m, B), dtype)
+        p_t, z_t, lam_t, Bt_new, stk = sqp_step_kernel(
+            Bt, Jt, grad_obj.T, lqp.T, uqp.T, step_prev.T, dgl.T, mskt,
+            xt, zt, yt, settings.qp, do_bfgs=do_bfgs, interpret=interpret,
+        )
+        return p_t.T, z_t.T, lam_t.T, Bt_new, stk
+
+    def body(c: _Carry) -> _Carry:
+        k = c.k + 1
+        active = (~c.done) & (~c.failed)
+
+        obj, grad_obj = call(f_lin_b, c.x)
+        c_val, Jt = call(c_lin_b, c.x)  # (B, m), (m, n, B)
+        grad_L_here = grad_obj + jnp.einsum(
+            "mnb,bm->bn", Jt, c.lam, precision=lax.Precision.HIGHEST
+        )
+
+        if settings.termination == "kkt":
+            kkt_ok = (_linf(grad_L_here) <= settings.eps_dual) & (
+                max_violation(c_val) <= settings.eps_prim
+            )
+            newly_done = active & kkt_ok
+            c = c._replace(done=c.done | newly_done)
+            active = active & ~newly_done
+
+        # BFGS masks; the update itself runs inside the kernel
+        delta_grad_L = grad_L_here - c.grad_L
+        tiny_step = _linf(c.step_prev) <= 1e3 * tiny * (1.0 + _linf(c.x))
+        reset = jnp.broadcast_to(k == 1, (B,)) | c.ls_failed
+        upd = ~tiny_step
+
+        p, z_qp, lam_qp, Bt_new, stk = kernel_qp(
+            c.Bt, Jt, grad_obj, l - c_val, u - c_val, c.step_prev,
+            delta_grad_L, reset, upd, active, c.qp_state, do_bfgs=True,
+        )
+        qp_iter = c.qp_iter + jnp.where(active, stk[1].astype(jnp.int32), 0)
+        qp_state_next = QPState(x=p, z=z_qp, y=lam_qp)
+
+        if settings.second_order_correction:
+            x_p = c.x + p
+            cv_p = call(c_b, x_p)
+            d = cv_p - jnp.einsum(
+                "mnb,bn->bm", Jt, p, precision=lax.Precision.HIGHEST
+            )
+            p, z_soc, lam_qp, _, stk2 = kernel_qp(
+                Bt_new, Jt, grad_obj, l - d, u - d, c.step_prev,
+                delta_grad_L, reset, upd, active, qp_state_next, do_bfgs=False,
+            )
+            qp_iter = qp_iter + jnp.where(active, stk2[1].astype(jnp.int32), 0)
+            qp_state_next = QPState(x=p, z=z_soc, y=lam_qp)
+
+        p_lam = lam_qp - c.lam
+        # p' B p for the merit weight, via the kernel layout product
+        Bp_prod = jnp.einsum(
+            "ijb,bj->bi", Bt_new, p, precision=lax.Precision.HIGHEST
+        )
+        pBp = _vdot(p, Bp_prod)
+        mu = jnp.where(
+            active, merit_weight(c.mu, p, pBp, grad_obj, c_val, lam_qp), c.mu
+        )
+        alpha, ls_ok = line_search(c.x, p, mu, obj, grad_obj, c_val)
+
+        x_new = c.x + alpha[:, None] * p
+        lam_new = c.lam + alpha[:, None] * p_lam
+        step = alpha[:, None] * p
+        prim_norm = alpha * _linf(p)
+        dual_norm = alpha * _linf(p_lam)
+
+        bad = jnp.isnan(x_new).any(-1) | jnp.isnan(lam_new).any(-1)
+        x_new = jnp.where((active & ~bad)[:, None], x_new, c.x)
+        lam_new = jnp.where((active & ~bad)[:, None], lam_new, c.lam)
+
+        if settings.termination == "kkt":
+            done = c.done
+        else:
+            cv_new = call(c_b, x_new)
+            conv = (
+                (prim_norm <= settings.eps_prim)
+                & (dual_norm <= settings.eps_dual)
+                & (max_violation(cv_new) <= settings.eps_prim)
+            )
+            done = c.done | (active & conv)
+
+        sel = lambda newv, oldv: jnp.where(
+            active.reshape((B,) + (1,) * (newv.ndim - 1)), newv, oldv
+        )
+        # Bt_new: inactive lanes pass B through unchanged inside the kernel
+        # (msk upd=0 and reset only applies to active lanes' resets), except
+        # stale ls_failed lanes — mask those at the XLA level
+        Bt_next = jnp.where(active[None, None, :], Bt_new, c.Bt)
+        return _Carry(
+            x=x_new,
+            lam=lam_new,
+            Bt=Bt_next,
+            grad_L=sel(grad_L_here, c.grad_L),
+            step_prev=sel(step, c.step_prev),
+            qp_state=jax.tree.map(sel, qp_state_next, c.qp_state),
+            mu=mu,
+            ls_failed=sel(~ls_ok, c.ls_failed),
+            k=k,
+            iter=jnp.where(active, k, c.iter),
+            done=done,
+            failed=c.failed | (active & bad),
+            qp_iter=qp_iter,
+            prim_norm=sel(prim_norm, c.prim_norm),
+            dual_norm=sel(dual_norm, c.dual_norm),
+        )
+
+    def cond(c: _Carry):
+        return jnp.any((~c.done) & (~c.failed)) & (c.k < settings.max_iter)
+
+    zero_b = jnp.zeros((B,), dtype)
+    eye_t = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, B))
+    init = _Carry(
+        x=x0,
+        lam=lam0,
+        Bt=eye_t,
+        grad_L=jnp.zeros((B, n), dtype),
+        step_prev=jnp.zeros((B, n), dtype),
+        qp_state=QPState(
+            x=jnp.zeros((B, n), dtype),
+            z=jnp.zeros((B, m), dtype),
+            y=jnp.zeros((B, m), dtype),
+        ),
+        mu=zero_b,
+        ls_failed=jnp.zeros((B,), jnp.bool_),
+        k=jnp.zeros((), jnp.int32),
+        iter=jnp.zeros((B,), jnp.int32),
+        done=jnp.zeros((B,), jnp.bool_),
+        failed=jnp.zeros((B,), jnp.bool_),
+        qp_iter=jnp.zeros((B,), jnp.int32),
+        prim_norm=zero_b,
+        dual_norm=zero_b,
+    )
+    if settings.schedule == "fixed":
+        final = lax.fori_loop(0, settings.max_iter, lambda i, c: body(c), init)
+    else:
+        final = lax.while_loop(cond, body, init)
+
+    x_out, lam_out = final.x, final.lam
+    if settings.polish:
+        # SQP polish: one Newton-KKT step on the guessed active set with
+        # the TRUE Lagrangian Hessian (see solver_batched for rationale;
+        # measured 6e-4 -> 8e-8 on the benchmark family)
+        from sqp_solver_tpu.ops.linear_solver import ldlt_factor, ldlt_solve
+
+        obj_f, grad_f = call(f_lin_b, x_out)
+        c_f, Jt_f = call(c_lin_b, x_out)
+        J_f = jnp.moveaxis(Jt_f, -1, 0)  # (B, m, n) — one transpose, once
+        ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out), axis=-1, keepdims=True))
+        act_low = lam_out < -ytol
+        act_up = lam_out > ytol
+        act = act_low | act_up
+        b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
+        if has_params:
+            lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
+            H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0))(
+                x_out, lam_out, params
+            )
+        else:
+            lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
+            H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0))(
+                x_out, lam_out
+            )
+        H_bad = jnp.isnan(H_b).any(axis=(-1, -2))
+        Bq = jnp.moveaxis(final.Bt, -1, 0)
+        H_b = jnp.where(H_bad[:, None, None], Bq, H_b)
+        delta = 1e-6
+        e = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
+        eye_m = jnp.eye(m, dtype=dtype)
+        K = jnp.concatenate(
+            [
+                jnp.concatenate(
+                    [H_b + delta * jnp.eye(n, dtype=dtype), J_f.mT], axis=-1
+                ),
+                jnp.concatenate([J_f, -e[..., :, None] * eye_m], axis=-1),
+            ],
+            axis=-2,
+        )
+        rhs = jnp.concatenate([-(grad_f), b_t - c_f], axis=-1)
+        Lk, dk = ldlt_factor(K)
+        sol = ldlt_solve(Lk, dk, rhs)
+        sol = sol + ldlt_solve(
+            Lk, dk,
+            rhs - jnp.einsum("bij,bj->bi", K, sol, precision=lax.Precision.HIGHEST),
+        )
+        x_pol = x_out + sol[..., :n]
+        lam_pol = jnp.where(act, sol[..., n:], 0.0)
+
+        def kkt_err(xx, ll):
+            _, g = call(f_lin_b, xx)
+            cv, Jt_ = call(c_lin_b, xx)
+            stat = _linf(
+                g + jnp.einsum("mnb,bm->bn", Jt_, ll, precision=lax.Precision.HIGHEST)
+            )
+            viol = max_violation(cv)
+            return jnp.maximum(stat, viol)
+
+        bad = jnp.isnan(x_pol).any(-1) | jnp.isnan(lam_pol).any(-1)
+        better = (kkt_err(x_pol, lam_pol) < kkt_err(x_out, lam_out)) & (~bad)
+        x_out = jnp.where(better[:, None], x_pol, x_out)
+        lam_out = jnp.where(better[:, None], lam_pol, lam_out)
+
+    status = jnp.where(
+        final.failed,
+        SQPStatus.NUMERICAL_ISSUES,
+        jnp.where(final.done, SQPStatus.SOLVED, SQPStatus.MAX_ITER_EXCEEDED),
+    ).astype(jnp.int32)
+    info = SQPInfo(
+        status=status,
+        iter=final.iter,
+        qp_solver_iter=final.qp_iter,
+        primal_step_norm=final.prim_norm,
+        dual_step_norm=final.dual_norm,
+    )
+    return SQPResult(x=x_out, lam=lam_out, info=info)
