@@ -208,7 +208,15 @@ def _kkt_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
 
 
 def _kkt_is_failure(factor):
-    return jnp.any(jnp.isnan(factor["L"])) | jnp.any(factor["d"] == 0.0)
+    # float-sensible pivot test: a quasi-definite KKT matrix has pivots
+    # bounded away from zero relative to the matrix scale; |d| below
+    # ~1e-12 of the largest pivot (or NaN) marks a breakdown.  (An exact
+    # d == 0.0 comparison essentially never fires in float.)
+    d = factor["d"]
+    scale = jnp.max(jnp.abs(d))
+    return jnp.any(jnp.isnan(d)) | jnp.any(
+        jnp.abs(d) <= 1e-12 * jnp.maximum(scale, 1.0)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -217,14 +225,22 @@ def _kkt_is_failure(factor):
 
 
 def _cg_factor(P, A, sigma, rho_vec):
-    # Nothing to factor; keep a dummy leaf so the while_loop carry has a
-    # stable structure.
-    return {"_": jnp.zeros((), P.dtype)}
+    # "Factorization" = the Jacobi preconditioner: diag(M) for the Schur
+    # operator M = P + sigma I + A' diag(rho) A.  O(n*m) to form, and it
+    # flattens the rho-induced scale spread (rho spans [1e-6, 1e6] under
+    # adaptive rho), typically several-fold fewer CG iterations.
+    diag_M = (
+        jnp.diagonal(P, axis1=-2, axis2=-1)
+        + sigma
+        + jnp.sum(rho_vec[..., :, None] * A * A, axis=-2)
+    )
+    return {"jacobi": jnp.maximum(diag_M, jnp.finfo(P.dtype).tiny)}
 
 
 def _cg_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
-    del factor, refine_steps
+    del refine_steps
     n = rhs1.shape[0]
+    dinv = 1.0 / factor["jacobi"]
 
     def mv(v):
         return hdot(P, v) + sigma * v + hdot(A.T, rho_vec * hdot(A, v))
@@ -234,27 +250,38 @@ def _cg_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
     tol2 = (10.0 * eps) ** 2 * jnp.maximum(b @ b, eps)
 
     def cond(s):
-        x, r, p, rs, k = s
-        return (rs > tol2) & (k < 4 * n)
+        x, r, p, zr, k = s
+        return (r @ r > tol2) & (k < 4 * n)
 
     def body(s):
-        x, r, p, rs, k = s
+        x, r, p, zr, k = s
         Ap = mv(p)
-        alpha = rs / (p @ Ap)
+        pAp = p @ Ap
+        # breakdown guard: pAp <= 0 on an SPD operator means numerical
+        # collapse — poison the iterate so the failure is visible
+        # downstream (NaN residuals can never satisfy the termination
+        # criteria, so a broken solve can never report SOLVED)
+        alpha = zr / jnp.where(pAp > 0.0, pAp, jnp.nan)
         x = x + alpha * p
         r = r - alpha * Ap
-        rs_new = r @ r
-        p = r + (rs_new / rs) * p
-        return x, r, p, rs_new, k + 1
+        z = dinv * r
+        zr_new = r @ z
+        p = z + (zr_new / zr) * p
+        return x, r, p, zr_new, k + 1
 
     x0 = jnp.zeros_like(b)
     r0 = b
-    x, *_ = lax.while_loop(cond, body, (x0, r0, r0, r0 @ r0, jnp.int32(0)))
+    z0 = dinv * r0
+    x, *_ = lax.while_loop(cond, body, (x0, r0, z0, r0 @ z0, jnp.int32(0)))
     return x
 
 
 def _cg_is_failure(factor):
-    return jnp.zeros((), jnp.bool_)
+    # CG cannot produce a *false* SOLVED: the ADMM termination residuals
+    # are computed from exact matvecs, independent of solve quality.  An
+    # unconverged or broken-down CG surfaces as MAX_ITER_EXCEEDED (or
+    # NaN-poisoned residuals), never silent success.
+    return jnp.any(jnp.isnan(factor["jacobi"]))
 
 
 # ---------------------------------------------------------------------------

@@ -214,3 +214,51 @@ class TestBatched:
         assert np.all(status[ok] == QPStatus.SOLVED)
         for i in ok:
             np.testing.assert_allclose(np.asarray(res.x[i]), SIMPLE_QP_SOLUTION, atol=1e-2)
+
+
+class TestLinearSolverHardening:
+    """Failure injection on the CG and LDLT backends (no silent success)."""
+
+    def test_cg_ill_conditioned_converges(self):
+        # wide rho spread (equality + loose rows) exercises the Jacobi
+        # preconditioner; unpreconditioned CG stalls in f64 tolerance here
+        rng = np.random.default_rng(7)
+        n, m = 12, 16
+        G = rng.normal(size=(n, n))
+        P = jnp.asarray(G @ G.T + np.diag(10.0 ** rng.uniform(-3, 3, n)))
+        A = jnp.asarray(rng.normal(size=(m, n)))
+        x_feas = rng.normal(size=n)
+        Ax = np.asarray(A) @ x_feas
+        l = jnp.asarray(np.where(np.arange(m) % 3 == 0, Ax, Ax - 1.0))
+        u = jnp.asarray(np.where(np.arange(m) % 3 == 0, Ax, Ax + 1.0))
+        qp = QuadraticProblem(P=P, q=jnp.asarray(rng.normal(size=n)), A=A, l=l, u=u)
+        ref = qp_solve(qp, QPSettings(adaptive_rho=True, max_iter=4000))
+        res = qp_solve(qp, QPSettings(adaptive_rho=True, max_iter=4000, linear_solver="cg"))
+        assert int(res.info.status) == QPStatus.SOLVED
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), atol=1e-2)
+
+    def test_cg_nan_input_reports_numerical_issues(self):
+        qp = simple_qp()
+        bad = QuadraticProblem(
+            P=qp.P.at[0, 0].set(jnp.nan), q=qp.q, A=qp.A, l=qp.l, u=qp.u
+        )
+        res = qp_solve(bad, QPSettings(linear_solver="cg"))
+        assert int(res.info.status) != QPStatus.SOLVED
+
+    def test_kkt_pivot_threshold(self):
+        from sqp_solver_tpu.ops.linear_solver import _kkt_is_failure
+
+        healthy = {"d": jnp.asarray([2.0, 1.0, -0.5, -3.0])}
+        assert not bool(_kkt_is_failure(healthy))
+        tiny_pivot = {"d": jnp.asarray([2.0, 1e-20, -0.5, -3.0])}
+        assert bool(_kkt_is_failure(tiny_pivot))
+        nan_pivot = {"d": jnp.asarray([2.0, jnp.nan, -0.5, -3.0])}
+        assert bool(_kkt_is_failure(nan_pivot))
+
+    def test_kkt_ldlt_nan_reports_numerical_issues(self):
+        qp = simple_qp()
+        bad = QuadraticProblem(
+            P=qp.P.at[0, 0].set(jnp.nan), q=qp.q, A=qp.A, l=qp.l, u=qp.u
+        )
+        res = qp_solve(bad, QPSettings(linear_solver="kkt_ldlt"))
+        assert int(res.info.status) == QPStatus.NUMERICAL_ISSUES
