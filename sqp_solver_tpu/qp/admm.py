@@ -112,7 +112,7 @@ def qp_solve(
     dtype = P.dtype
     n, m = qp.n, qp.m
 
-    solver = get_linear_solver(settings.linear_solver)
+    solver = get_linear_solver(settings.linear_solver, settings.block_size)
     sigma = jnp.asarray(settings.sigma, dtype)
     alpha = jnp.asarray(settings.alpha, dtype)
     eps_abs = jnp.asarray(settings.eps_abs, dtype)

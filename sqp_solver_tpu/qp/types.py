@@ -112,6 +112,10 @@ class QPSettings:
     adaptive_rho_interval: int = 25
     verbose: bool = False
     linear_solver: str = "schur_cholesky"
+    # block size for linear_solver="schur_block_tridiag" (structured KKT:
+    # the Schur matrix must be block-tridiagonal with this block size, as
+    # in stage-wise MPC — see models/mpc.py:mpc_qp_stagewise_batch)
+    block_size: int = 0
     refine_steps: int = 0
     schedule: str = "early_exit"
     polish: bool = False
@@ -132,9 +136,14 @@ class QPSettings:
         if self.adaptive_rho_interval <= 0:
             raise ValueError("adaptive_rho_interval must be > 0")
         if self.linear_solver not in (
-            "schur_cholesky", "schur_cholesky_tri", "kkt_ldlt", "cg"
+            "schur_cholesky", "schur_cholesky_tri", "kkt_ldlt", "cg",
+            "schur_block_tridiag",
         ):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
+        if self.linear_solver == "schur_block_tridiag" and self.block_size <= 0:
+            raise ValueError(
+                "linear_solver='schur_block_tridiag' requires block_size > 0"
+            )
         if self.schedule not in ("early_exit", "fixed"):
             raise ValueError(f"schedule must be 'early_exit' or 'fixed', got {self.schedule}")
 

@@ -1,0 +1,120 @@
+"""Structured (block-tridiagonal) KKT path + reference sparse-test port.
+
+The reference's sparse QP support lives in a disabled test file and a
+broken macro combination (SURVEY quirk Q2); its *capability* obligation —
+structure-exploiting factorization, exercised by
+``tests/qp_solver_sparse_test.cpp`` — is met here by the
+``schur_block_tridiag`` backend on stage-wise MPC problems.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqp_solver_tpu.models.mpc import mpc_qp_stagewise_batch
+from sqp_solver_tpu.models.problems import simple_qp
+from sqp_solver_tpu.parallel.batch import qp_solve_batch
+from sqp_solver_tpu.qp import QPSettings, QPStatus, qp_solve
+from sqp_solver_tpu.qp.types import QuadraticProblem
+
+SIMPLE_QP_SOLUTION = np.array([0.3, 0.7])
+
+
+class TestBlockTridiagonal:
+    def _problem(self, batch=4, horizon=12):
+        return mpc_qp_stagewise_batch(batch, horizon=horizon, dtype=jnp.float64)
+
+    def test_schur_matrix_is_block_tridiagonal(self):
+        from sqp_solver_tpu.ops.linear_solver import _schur_matrix
+        from sqp_solver_tpu.qp.classify import constr_type_init, rho_vec_from_type
+
+        qp, b = self._problem(batch=1)
+        P, A = qp.P[0], qp.A[0]
+        ctype = constr_type_init(qp.l[0], qp.u[0])
+        rho_vec = rho_vec_from_type(ctype, 0.1, jnp.float64)
+        M = np.asarray(_schur_matrix(P, A, 1e-6, rho_vec))
+        T = M.shape[0] // b
+        for i in range(T):
+            for j in range(T):
+                if abs(i - j) > 1:
+                    blk = M[i * b : (i + 1) * b, j * b : (j + 1) * b]
+                    np.testing.assert_allclose(blk, 0.0, atol=1e-12)
+
+    def test_matches_dense_path(self):
+        qp, b = self._problem()
+        dense = qp_solve_batch(qp, QPSettings(adaptive_rho=True, max_iter=2000))
+        structured = qp_solve_batch(
+            qp,
+            QPSettings(
+                adaptive_rho=True,
+                max_iter=2000,
+                linear_solver="schur_block_tridiag",
+                block_size=b,
+            ),
+        )
+        assert np.all(np.asarray(structured.info.status) == QPStatus.SOLVED)
+        np.testing.assert_allclose(
+            np.asarray(structured.x), np.asarray(dense.x), atol=1e-6
+        )
+        # identical iterate math => identical iteration counts
+        np.testing.assert_array_equal(
+            np.asarray(structured.info.iter), np.asarray(dense.info.iter)
+        )
+
+    def test_dynamics_satisfied(self):
+        qp, b = self._problem(batch=2, horizon=8)
+        res = qp_solve_batch(
+            qp,
+            QPSettings(
+                eps_abs=1e-7, eps_rel=1e-7, adaptive_rho=True, max_iter=4000,
+                linear_solver="schur_block_tridiag", block_size=b, polish=True,
+            ),
+        )
+        # equality (dynamics) rows must hold tightly after polish
+        viol = np.einsum(
+            "bmn,bn->bm", np.asarray(qp.A), np.asarray(res.x)
+        ) - np.asarray(qp.u)
+        dyn = viol[:, :16]  # nx * horizon = 16 dynamics rows
+        assert np.abs(dyn).max() < 1e-6
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            QPSettings(linear_solver="schur_block_tridiag").validate()
+
+
+class TestReferenceSparsePort:
+    """Port of the disabled reference sparse tests
+    (tests/qp_solver_sparse_test.cpp:51-98) onto our structured/CG paths."""
+
+    def test_sparse_simple_qp_cg(self):
+        # qp_solver_sparse_test.cpp:51-66 (ConjugateGradient linear solver)
+        qp = simple_qp()
+        res = qp_solve(qp, QPSettings(linear_solver="cg"))
+        np.testing.assert_allclose(np.asarray(res.x), SIMPLE_QP_SOLUTION, atol=1e-2)
+        assert int(res.info.status) == QPStatus.SOLVED
+
+    def test_repeat_solve_idempotent(self):
+        # qp_solver_sparse_test.cpp:68-78 (testSolveRepeat)
+        qp = simple_qp()
+        s = QPSettings()
+        first = qp_solve(qp, s)
+        again = qp_solve(qp, s)
+        np.testing.assert_array_equal(np.asarray(first.x), np.asarray(again.x))
+        assert int(again.info.status) == QPStatus.SOLVED
+
+    def test_update_qp_changed_P_q(self):
+        # qp_solver_sparse_test.cpp:80-98 (testCanUpdateQP): new P, q with
+        # the same structure re-solves correctly
+        qp = simple_qp()
+        res1 = qp_solve(qp, QPSettings())
+        qp2 = QuadraticProblem(
+            P=2.0 * qp.P, q=jnp.asarray([1.0, -1.0]), A=qp.A, l=qp.l, u=qp.u
+        )
+        res2 = qp_solve(qp2, QPSettings(eps_abs=1e-5, eps_rel=1e-5, max_iter=4000))
+        assert int(res2.info.status) == QPStatus.SOLVED
+        assert not np.allclose(np.asarray(res1.x), np.asarray(res2.x))
+        # verify against direct KKT check: feasibility
+        Ax = np.asarray(qp2.A) @ np.asarray(res2.x)
+        assert (Ax - np.asarray(qp2.l)).min() > -1e-3
+        assert (Ax - np.asarray(qp2.u)).max() < 1e-3
