@@ -216,6 +216,16 @@ def qp_solve_fused(
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )
             c = c._replace(done=c.done | (active & conv))
+            if settings.verbose:
+                # batched analog of the reference's per-check iteration
+                # table (src/qp.cpp:374-382): batch summaries per check
+                jax.debug.print(
+                    "{k:4d}  active {na:5d}  rp_p50 {rp:.2e}  rd_p50 {rd:.2e}",
+                    k=k,
+                    na=jnp.sum(active).astype(jnp.int32),
+                    rp=jnp.median(res_prim),
+                    rd=jnp.median(res_dual),
+                )
         if settings.adaptive_rho:
             c = lax.cond((k % interval) == 0, rho_epoch_update, lambda c: c, c)
         return c

@@ -79,6 +79,7 @@ class _Carry(NamedTuple):
     qp_iter: jax.Array  # (B,)
     prim_norm: jax.Array  # (B,)
     dual_norm: jax.Array  # (B,)
+    trace: object  # dict of (max_iter, B, ...) ring buffers, or None
 
 
 @_pin_precision
@@ -289,6 +290,23 @@ def sqp_solve_kernel_fused(
             )
             done = c.done | (active & conv)
 
+        if settings.record_trace:
+            ki = k - 1
+            tr = dict(
+                x=lax.dynamic_update_index_in_dim(c.trace["x"], x_new, ki, 0),
+                alpha=lax.dynamic_update_index_in_dim(
+                    c.trace["alpha"], jnp.where(active, alpha, 0.0), ki, 0
+                ),
+                primal_step_norm=lax.dynamic_update_index_in_dim(
+                    c.trace["primal_step_norm"], prim_norm, ki, 0
+                ),
+                dual_step_norm=lax.dynamic_update_index_in_dim(
+                    c.trace["dual_step_norm"], dual_norm, ki, 0
+                ),
+            )
+        else:
+            tr = c.trace
+
         sel = lambda newv, oldv: jnp.where(
             active.reshape((B,) + (1,) * (newv.ndim - 1)), newv, oldv
         )
@@ -312,6 +330,7 @@ def sqp_solve_kernel_fused(
             qp_iter=qp_iter,
             prim_norm=sel(prim_norm, c.prim_norm),
             dual_norm=sel(dual_norm, c.dual_norm),
+            trace=tr,
         )
 
     def cond(c: _Carry):
@@ -319,6 +338,16 @@ def sqp_solve_kernel_fused(
 
     zero_b = jnp.zeros((B,), dtype)
     eye_t = jnp.broadcast_to(jnp.eye(n, dtype=dtype)[:, :, None], (n, n, B))
+    if settings.record_trace:
+        T = settings.max_iter
+        trace0 = dict(
+            x=jnp.zeros((T, B, n), dtype),
+            alpha=jnp.zeros((T, B), dtype),
+            primal_step_norm=jnp.zeros((T, B), dtype),
+            dual_step_norm=jnp.zeros((T, B), dtype),
+        )
+    else:
+        trace0 = None
     init = _Carry(
         x=x0,
         lam=lam0,
@@ -339,6 +368,7 @@ def sqp_solve_kernel_fused(
         qp_iter=jnp.zeros((B,), jnp.int32),
         prim_norm=zero_b,
         dual_norm=zero_b,
+        trace=trace0,
     )
     if settings.schedule == "fixed":
         final = lax.fori_loop(0, settings.max_iter, lambda i, c: body(c), init)
@@ -421,4 +451,4 @@ def sqp_solve_kernel_fused(
         primal_step_norm=final.prim_norm,
         dual_step_norm=final.dual_norm,
     )
-    return SQPResult(x=x_out, lam=lam_out, info=info)
+    return SQPResult(x=x_out, lam=lam_out, info=info, trace=final.trace)

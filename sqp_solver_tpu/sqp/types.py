@@ -125,7 +125,16 @@ class SQPSettings:
     jacobian_mode: str = "fwd"
     termination: str = "step_norm"
     schedule: str = "early_exit"
+    # Per-iteration user hook (reference sqp.hpp:23, called at
+    # src/sqp.cpp:68-70,89-91).  Live callbacks run on the per-problem
+    # path (sqp_solve) via jax.debug.callback; the batched paths cannot
+    # host-call per iteration on TPU — set record_trace=True instead and
+    # replay the recorded iterates offline (result.trace).
     iteration_callback: Optional[Callable] = None
+    # Record per-outer-iteration (x, alpha, step norms) into on-device
+    # ring buffers returned as result.trace — the batched-path
+    # observability equivalent of iteration_callback.
+    record_trace: bool = False
 
     def validate(self) -> None:
         """Eager validation (the reference's ``validate()`` is inverted and
@@ -173,3 +182,7 @@ class SQPResult:
     x: jax.Array  # primal solution
     lam: jax.Array  # dual solution (constraint multipliers)
     info: SQPInfo
+    # populated when settings.record_trace: dict with per-outer-iteration
+    # "x" (max_iter, B, n), "alpha", "primal_step_norm", "dual_step_norm"
+    # (max_iter, B) — offline replay of the reference's iteration_callback
+    trace: Any = None

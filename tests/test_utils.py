@@ -56,3 +56,75 @@ def test_verbose_runs():
     res = qp_solve(simple_qp(), QPSettings(verbose=True))
     jax.effects_barrier()
     assert int(res.info.status) == 0
+
+
+class TestSettingsInfoDumps:
+    """Reference verbose dumps: QPSolverSettings::print (qp.hpp:56-66),
+    QPSolverInfo::print (qp.hpp:82-106), sqp::Info (sqp.hpp:40-59)."""
+
+    def test_print_settings(self, capsys):
+        from sqp_solver_tpu.qp import QPSettings
+        from sqp_solver_tpu.sqp import SQPSettings
+        from sqp_solver_tpu.utils.debug import print_settings
+
+        print_settings(QPSettings(rho=0.25))
+        out = capsys.readouterr().out
+        assert "QPSettings" in out and "rho = 0.25" in out and "max_iter" in out
+        print_settings(SQPSettings())
+        out = capsys.readouterr().out
+        assert "SQPSettings" in out and "qp:" in out and "eps_prim" in out
+
+    def test_print_info_scalar_and_batched(self, capsys):
+        import jax
+        from sqp_solver_tpu.models.problems import simple_qp
+        from sqp_solver_tpu.qp import QPSettings, qp_solve
+        from sqp_solver_tpu.utils.debug import print_info
+
+        res = qp_solve(simple_qp(), QPSettings())
+        print_info(res.info)
+        out = capsys.readouterr().out
+        assert "status = SOLVED" in out and "iter" in out
+
+        batched = jax.vmap(lambda _: qp_solve(simple_qp(), QPSettings()))(
+            jnp.arange(4)
+        )
+        print_info(batched.info)
+        out = capsys.readouterr().out
+        assert "status[SOLVED] = 4/4" in out and "p50" in out
+
+
+class TestTraceRingBuffer:
+    """Batched-path observability: the on-device replacement for the
+    reference's per-iteration callback (sqp.hpp:23, src/sqp.cpp:89-91)."""
+
+    def test_record_trace_fused(self):
+        from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+        from sqp_solver_tpu.parallel.batch import sqp_solve_batch
+        from sqp_solver_tpu.sqp import SQPSettings
+
+        prob, x0 = sphere_cap_nlp_batch(4, 6, dtype=jnp.float32)
+        s = SQPSettings(
+            max_iter=8, termination="kkt", eps_prim=1e-3, eps_dual=1e-3,
+            schedule="fixed", record_trace=True,
+        )
+        res = sqp_solve_batch(prob, x0, None, s, impl="fused")
+        assert res.trace is not None
+        assert res.trace["x"].shape == (8, 4, 6)
+        assert res.trace["alpha"].shape == (8, 4)
+        # iterates move then stabilize at the solution
+        x_tr = np.asarray(res.trace["x"])
+        assert not np.allclose(x_tr[0], x_tr[1])
+        np.testing.assert_allclose(x_tr[-1], np.asarray(res.x), atol=1e-5)
+
+    def test_record_trace_kernel(self):
+        from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+        from sqp_solver_tpu.parallel.batch import sqp_solve_batch
+        from sqp_solver_tpu.sqp import SQPSettings
+
+        prob, x0 = sphere_cap_nlp_batch(4, 6, dtype=jnp.float32)
+        s = SQPSettings(
+            max_iter=8, termination="kkt", eps_prim=1e-3, eps_dual=1e-3,
+            schedule="fixed", record_trace=True, qp_impl="kernel",
+        )
+        res = sqp_solve_batch(prob, x0, None, s, impl="fused")
+        assert res.trace is not None and res.trace["x"].shape == (8, 4, 6)
