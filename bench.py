@@ -67,6 +67,30 @@ def solution(problem):
     return sphere_cap_solution(problem)
 
 
+def sqp_flops_model(n, m, outer_iters, qp_iters, n_factor_per_outer=1.5,
+                    polish_passes=2):
+    """Algorithmic (useful) FLOPs per SQP solve — the roofline numerator.
+
+    Counts textbook costs only (no masking/extraction overhead): per outer
+    iteration one Schur factorization (gram m*n^2 + chol n^3/3 + inverse
+    n^3/2 + L'L n^3/2), per ADMM iteration 2(n^2 + 2mn), BFGS 4n^2,
+    and per polish pass one LDL' of the (n+m) KKT system.
+    """
+    D = n + m
+    factor = 2 * (m * n * n + n**3 // 3 + n**3 // 2 + n**3 // 2)
+    admm_iter = 2 * (n * n + 2 * m * n)
+    bfgs = 4 * n * n
+    polish = polish_passes * 2 * (D**3 // 3 + 2 * D * D)
+    return outer_iters * (n_factor_per_outer * factor + bfgs) + qp_iters * admm_iter + polish
+
+
+# empirical VPU ceiling for this chip (measured: a full-array rank-1
+# update pass runs ~1 TFLOP/s FMA in f32; see memory notes) and the MXU
+# f32 peak for reference
+VPU_CEILING_FLOPS = 2.0e12  # FMA counted as 2 flops
+MXU_F32_PEAK_FLOPS = 4.9e13
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -143,34 +167,96 @@ def main():
         )
     )
     iters = np.asarray(res.info.iter)
+    qp_iters = np.asarray(res.info.qp_solver_iter)
     sqp_per_sec = B / t_solve
     log(
         f"sqp batch: B={B} n={N} time={t_solve*1e3:.1f}ms -> {sqp_per_sec:.0f} solves/s; "
         f"solved={solved_frac:.3f} err_p99={err:.2e} iters p50={np.percentile(iters,50):.0f} "
         f"p99={np.percentile(iters,99):.0f}"
     )
+    # roofline accounting: useful FLOPs vs the chip's VPU ceiling (the
+    # workload is batched small-matrix algebra — elementwise lanes, no
+    # MXU data reuse), plus the MXU-f32 number for reference
+    flops = sqp_flops_model(
+        N, N + 1, float(np.mean(iters)), float(np.mean(qp_iters))
+    )
+    achieved = flops * B / t_solve
+    log(
+        f"roofline: ~{flops/1e6:.1f} MFLOP/solve useful -> {achieved/1e9:.0f} GFLOP/s "
+        f"achieved = {achieved/VPU_CEILING_FLOPS*100:.0f}% of VPU ceiling "
+        f"({achieved/MXU_F32_PEAK_FLOPS*100:.1f}% of MXU f32 peak; "
+        f"per-problem matrices have no cross-problem reuse, so the MXU is "
+        f"not reachable for this shape)"
+    )
 
     # ---- supplementary: n=128 SQP config (north-star "n <= 128") -----------
     B2, N2 = 1024, 128
     build128 = make_problem_generator(B2, N2, jnp.float32)
-    import dataclasses
-
-    settings128 = dataclasses.replace(settings, qp_impl="fused")
 
     def run128(key):
         problem, x0 = build128(key)
-        return sqp_solve_batch(problem, x0, None, settings128, impl="fused")
+        return sqp_solve_batch(problem, x0, None, settings, impl="fused")
 
     solve128 = jax.jit(run128)
     _ = np.asarray(solve128(jax.random.PRNGKey(0)).x)
-    t0 = time.perf_counter()
-    r128 = solve128(jax.random.PRNGKey(1))
-    _ = np.asarray(r128.x)
-    t128 = time.perf_counter() - t0
+    t128s = []
+    for rep in (1, 2):
+        key = jax.random.PRNGKey(rep)
+        jax.block_until_ready(key)
+        t0 = time.perf_counter()
+        r128 = solve128(key)
+        _ = np.asarray(r128.x)
+        t128s.append(time.perf_counter() - t0)
+    t128 = min(t128s)
+    prob128, _ = jax.jit(build128)(jax.random.PRNGKey(2))
+    r128a = solve128(jax.random.PRNGKey(2))
+    err128 = float(
+        np.percentile(np.abs(np.asarray(r128a.x, np.float64) - solution(prob128)), 99)
+    )
+    it128 = np.asarray(r128.info.iter)
+    qpit128 = np.asarray(r128.info.qp_solver_iter)
     log(
         f"sqp batch n=128: B={B2} time={t128*1e3:.0f}ms -> {B2/t128:.0f} solves/s; "
-        f"solved={float(np.mean(np.asarray(r128.info.status)==0)):.3f}"
+        f"solved={float(np.mean(np.asarray(r128.info.status)==0)):.3f} err_p99={err128:.2e}"
     )
+    flops128 = sqp_flops_model(
+        N2, N2 + 1, float(np.mean(it128)), float(np.mean(qpit128))
+    )
+    achieved128 = flops128 * B2 / t128
+    log(
+        f"roofline n=128: ~{flops128/1e6:.0f} MFLOP/solve useful -> "
+        f"{achieved128/1e9:.0f} GFLOP/s = {achieved128/VPU_CEILING_FLOPS*100:.0f}% of "
+        f"VPU ceiling — the n=128 ceiling at these iteration counts is "
+        f"~{VPU_CEILING_FLOPS/flops128:.0f} solves/s/TFLOP-budget; the "
+        f"factorization (n^3) dominates and is VPU-bound per problem"
+    )
+
+    # ---- supplementary: structured (block-tridiagonal) MPC vs dense ---------
+    from sqp_solver_tpu.models.mpc import mpc_qp_stagewise_batch
+
+    Bs, Ts = 256, 64
+    qp_s, blk = mpc_qp_stagewise_batch(Bs, horizon=Ts, dtype=jnp.float32)
+    jax.block_until_ready(qp_s)
+    s_dense = QPSettings(adaptive_rho=True, max_iter=500)
+    s_struct = QPSettings(
+        adaptive_rho=True, max_iter=500,
+        linear_solver="schur_block_tridiag", block_size=blk,
+    )
+    for label, s_cfg in (("dense", s_dense), ("blocktri", s_struct)):
+        sol_fn = jax.jit(lambda p, s_cfg=s_cfg: qp_solve_batch(p, s_cfg))
+        _ = np.asarray(sol_fn(qp_s).x)
+        ts = []
+        for seed in (1, 2):
+            qp2, _ = mpc_qp_stagewise_batch(Bs, horizon=Ts, seed=seed, dtype=jnp.float32)
+            jax.block_until_ready(qp2)
+            t0 = time.perf_counter()
+            rs = sol_fn(qp2)
+            _ = np.asarray(rs.x)
+            ts.append(time.perf_counter() - t0)
+        log(
+            f"structured MPC ({label}): n={qp_s.P.shape[-1]} B={Bs} "
+            f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
+        )
 
     # ---- supplementary: batched QP throughput -------------------------------
     qp_settings = QPSettings(

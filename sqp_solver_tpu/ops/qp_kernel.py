@@ -70,7 +70,7 @@ from sqp_solver_tpu.qp.types import (
     QuadraticProblem,
 )
 
-__all__ = ["qp_solve_kernel", "sqp_step_kernel", "pick_lane_tile"]
+__all__ = ["qp_solve_kernel", "sqp_step_kernel", "kkt_polish_kernel", "pick_lane_tile"]
 
 # column/row block for the shrinking factorization loops: large enough to
 # amortize the per-block slice bookkeeping, small enough that the trailing
@@ -92,6 +92,18 @@ def _vmem_bytes_per_lane(n: int, m: int) -> int:
     return 4 * (5 * n * n + 2 * m * n + 24 * (n + m))
 
 
+def _step_lane_tile(n: int, m: int, vmem_budget: int = _VMEM_CAP) -> int:
+    """Lane tile for the SQP-step kernel: its live set adds the Hessian
+    triple (B_prev, B_new, B_out), the BFGS rank-2 temporaries, and the
+    output pipeline buffers on top of the QP solve's (measured 149.7 MB
+    at n=128, TL=128 — ~18 n^2 words per lane)."""
+    per_lane = 4 * (18 * n * n + 3 * m * n + 32 * (n + m))
+    tl = 128
+    while tl > 8 and per_lane * tl > vmem_budget:
+        tl //= 2
+    return tl
+
+
 def pick_lane_tile(n: int, m: int, vmem_budget: int = _VMEM_CAP) -> int:
     """Problems per program (lane tile): 128 when the kernel's live set
     fits VMEM, halved otherwise (multiples of 128 lanes are what the VPU
@@ -102,6 +114,18 @@ def pick_lane_tile(n: int, m: int, vmem_budget: int = _VMEM_CAP) -> int:
     while tl > 8 and per_lane * tl + 2 * 4 * (n * n + m * n) * tl > vmem_budget:
         tl //= 2
     return tl
+
+
+def _chunked_lanes(call_one, args, B, tl):
+    """Mosaic requires the lane (minor) block dimension to be 128 *or* the
+    whole array — a lane tile below 128 therefore runs as separate
+    whole-array kernel calls over batch slices (VMEM-bound large-n/large-D
+    configs), concatenated back along the problem axis."""
+    outs = []
+    for i in range(0, B, tl):
+        sl = tuple(v[..., i : i + tl] for v in args)
+        outs.append(call_one(*sl))
+    return tuple(jnp.concatenate(parts, axis=-1) for parts in zip(*outs))
 
 
 def _mm_t(A, B_, reduce_axis=1):
@@ -273,6 +297,125 @@ def _ltl_blocked(Li, cb=_FACTOR_BLOCK):
     )
 
 
+def _ldlt_blocked_t(K, cb=_FACTOR_BLOCK):
+    """Lane-vectorized pivot-free LDL' of a quasi-definite (D, D, TL)
+    batch (transposed layout).  Same blocked shrinking structure as
+    :func:`_chol_blocked`; pivots may be negative (quasi-definite KKT).
+    Returns (L strictly-lower with unit diagonal implicit, d (D, TL),
+    fail (1, TL) f32)."""
+    D, TL = K.shape[0], K.shape[-1]
+    dtype = K.dtype
+    panels = []
+    dpanels = []
+    T = K
+    fail = jnp.zeros((1, TL), dtype)
+    for r0 in range(0, D, cb):
+        nb = D - r0
+        b = min(cb, nb)
+        cols3 = lax.broadcasted_iota(jnp.int32, (nb, nb, 1), 1)
+        rows2 = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+        pcols = lax.broadcasted_iota(jnp.int32, (nb, b, 1), 1)
+        diota = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+        def col_step(j, carry):
+            T, Pn, dpan, flag = carry
+            colj = jnp.sum(T * (cols3 == j).astype(dtype), axis=1)  # (nb, TL)
+            dj = jnp.sum(colj * (rows2 == j).astype(dtype), axis=0, keepdims=True)
+            flag = jnp.maximum(
+                flag,
+                ((jnp.abs(dj) <= 1e-30) | jnp.isnan(dj)).astype(dtype),
+            )
+            djs = jnp.where(jnp.abs(dj) > 1e-30, dj, 1e-30)
+            lcol = jnp.where(rows2 > j, colj / djs, 0.0)  # (nb, TL)
+            Pn = Pn + lcol[:, None, :] * (pcols == j).astype(dtype)
+            dpan = dpan + dj * (diota == j).astype(dtype)
+            T = T - djs * (lcol[:, None, :] * lcol[None, :, :])
+            return T, Pn, dpan, flag
+
+        T, Pn, dpan, fail = lax.fori_loop(
+            0, b, col_step,
+            (T, jnp.zeros((nb, b, TL), dtype), jnp.zeros((b, TL), dtype), fail),
+        )
+        if r0 > 0:
+            Pn = jnp.concatenate([jnp.zeros((r0, b, TL), dtype), Pn], axis=0)
+        panels.append(Pn)
+        dpanels.append(dpan)
+        T = T[b:, b:, :]
+    L = panels[0] if len(panels) == 1 else jnp.concatenate(panels, axis=1)
+    d = dpanels[0] if len(dpanels) == 1 else jnp.concatenate(dpanels, axis=0)
+    return L, d, fail
+
+
+def _ldlt_solve_t(L, d, rhs, cb=_FACTOR_BLOCK):
+    """Solve (I+L) diag(d) (I+L)' x = rhs for one transposed-layout rhs
+    (D, TL).  Blocked substitutions: the cross-block contraction is a
+    single fused pass per block (no row loop), the intra-block part is a
+    short masked fori."""
+    D, TL = rhs.shape[0], rhs.shape[-1]
+    dtype = rhs.dtype
+
+    # forward: (I + L) w = rhs
+    blocks = []
+    for r0 in range(0, D, cb):
+        b = min(cb, D - r0)
+        rhs_blk = rhs[r0 : r0 + b]
+        if r0 > 0:
+            Wprev = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+            c = jnp.sum(L[r0 : r0 + b, :r0, :] * Wprev[None, :, :], axis=1)
+        else:
+            c = jnp.zeros((b, TL), dtype)
+        Lblk = L[r0 : r0 + b, r0 : r0 + b, :]
+        briota = lax.broadcasted_iota(jnp.int32, (b, b, 1), 0)
+        kiota = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+        def fwd_step(i, Wb):
+            lrow = jnp.sum(Lblk * (briota == i).astype(dtype), axis=0)  # (b, TL)
+            lrow = jnp.where(kiota < i, lrow, 0.0)
+            acc = jnp.sum(lrow * Wb, axis=0, keepdims=True)  # (1, TL)
+            ci = jnp.sum(c * (kiota == i).astype(dtype), axis=0, keepdims=True)
+            ri = jnp.sum(rhs_blk * (kiota == i).astype(dtype), axis=0, keepdims=True)
+            wi = ri - ci - acc
+            return Wb + wi * (kiota == i).astype(dtype)
+
+        Wb = lax.fori_loop(0, b, fwd_step, jnp.zeros((b, TL), dtype))
+        blocks.append(Wb)
+    w = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
+
+    w = w / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
+
+    # backward: (I + L)' x = w
+    nblocks = -(-D // cb)
+    xblocks = [None] * nblocks
+    for bi in reversed(range(nblocks)):
+        r0 = bi * cb
+        b = min(cb, D - r0)
+        r1 = r0 + b
+        w_blk = w[r0:r1]
+        if r1 < D:
+            suf = xblocks[bi + 1 :]
+            Xsuf = suf[0] if len(suf) == 1 else jnp.concatenate(suf, axis=0)
+            c = jnp.sum(L[r1:, r0:r1, :] * Xsuf[:, None, :], axis=0)  # (b, TL)
+        else:
+            c = jnp.zeros((b, TL), dtype)
+        Lblk = L[r0:r1, r0:r1, :]
+        bciota = lax.broadcasted_iota(jnp.int32, (b, b, 1), 1)
+        kiota = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
+
+        def bwd_step(ii, Xb):
+            i = b - 1 - ii
+            lcol = jnp.sum(Lblk * (bciota == i).astype(dtype), axis=1)  # (b, TL)
+            lcol = jnp.where(kiota > i, lcol, 0.0)
+            acc = jnp.sum(lcol * Xb, axis=0, keepdims=True)
+            wi = jnp.sum(w_blk * (kiota == i).astype(dtype), axis=0, keepdims=True)
+            ci = jnp.sum(c * (kiota == i).astype(dtype), axis=0, keepdims=True)
+            xi = wi - ci - acc
+            return Xb + xi * (kiota == i).astype(dtype)
+
+        Xb = lax.fori_loop(0, b, bwd_step, jnp.zeros((b, TL), dtype))
+        xblocks[bi] = Xb
+    return jnp.concatenate(xblocks, axis=0) if nblocks > 1 else xblocks[0]
+
+
 def _factor_schur(P, A, rho_vec, sigma, eye_n):
     """M = P + sigma I + A' diag(rho) A; Minv via blocked in-kernel
     Cholesky + triangular inversion.  Returns (Minv, fail (1, TL) f32)."""
@@ -343,24 +486,27 @@ def _admm_core(
         yn = y + rho_vec * (z_pre - zn)
         return xn, zn, yn
 
+    nfact = jnp.zeros((1, TL), dtype)
+
     def epoch_body(ec):
-        x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq, pending, Minv, e = ec
+        (x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
+         pending, Minv, nfact, e) = ec
 
         # factorize only if some still-active lane changed rho — skipped
         # epochs (converged tile / stable rho) cost one scalar predicate
         def do_factor(args):
-            Minv_old, fail_old = args
+            Minv_old, fail_old, cnt = args
             Minv_new, f = _factor_schur(
                 P, A, _rho_from(rho, loose, equality), sigma, eye_n
             )
             act_f = (1.0 - done) * (1.0 - fail_old)
-            return Minv_new, jnp.maximum(fail_old, f * act_f)
+            return Minv_new, jnp.maximum(fail_old, f * act_f), cnt + 1.0
 
-        Minv, failv = lax.cond(
+        Minv, failv, nfact = lax.cond(
             jnp.any(pending * (1.0 - done) * (1.0 - failv) > 0.0),
             do_factor,
             lambda args: args,
-            (Minv, failv),
+            (Minv, failv, nfact),
         )
         rho_vec_e = _rho_from(rho, loose, equality)
 
@@ -415,7 +561,7 @@ def _admm_core(
             pending = changed.astype(dtype)
         return (
             x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-            pending, Minv, e + 1,
+            pending, Minv, nfact, e + 1,
         )
 
     def epoch_cond(ec):
@@ -424,10 +570,11 @@ def _admm_core(
 
     ec = (
         x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-        pending, Minv, jnp.zeros((), jnp.int32),
+        pending, Minv, nfact, jnp.zeros((), jnp.int32),
     )
     ec = lax.while_loop(epoch_cond, epoch_body, ec)
-    # x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd (+ Minv at 14)
+    # x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd
+    # (+ Minv at 14, nfact at 15)
     return ec
 
 
@@ -480,12 +627,10 @@ def _qp_kernel(
 
 
 def _sqp_step_kernel(
-    B_ref, J_ref, g_ref, l_ref, u_ref, s_ref, dgl_ref, msk_ref,
-    x_ref, z_ref, y_ref,
-    po_ref, zo_ref, yo_ref, Bo_ref, st_ref,
-    *, n, m, sigma, alpha, rho0, eps_abs, eps_rel,
+    *refs,
+    n, m, sigma, alpha, rho0, eps_abs, eps_rel,
     n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
-    do_bfgs,
+    do_bfgs, in_minv, out_minv,
 ):
     """One fused SQP subproblem step for a tile of problems:
 
@@ -499,8 +644,27 @@ def _sqp_step_kernel(
     round-trips through XLA between outer iterations.  msk rows:
     0 = reset (k==1 or failed line search -> B := I), 1 = update allowed
     (not a tiny step), 2 = SQP-active (inactive lanes are frozen
-    throughout and pass their warm state through).
+    throughout and pass their warm state through), 3 = carried-in rho
+    (with in_minv).
+
+    ``in_minv`` reuses a factorization from a previous solve of the same
+    (B, J) with different bounds — the SOC re-solve skips its setup
+    factorization entirely (the reference TODO at src/sqp.cpp:273: "only
+    l and u change").  ``out_minv`` emits the final factor for such reuse.
     """
+    if in_minv:
+        (B_ref, J_ref, g_ref, l_ref, u_ref, s_ref, dgl_ref, msk_ref,
+         x_ref, z_ref, y_ref, mi_ref) = refs[: 12]
+        out_refs = refs[12:]
+    else:
+        (B_ref, J_ref, g_ref, l_ref, u_ref, s_ref, dgl_ref, msk_ref,
+         x_ref, z_ref, y_ref) = refs[: 11]
+        out_refs = refs[11:]
+    if out_minv:
+        po_ref, zo_ref, yo_ref, Bo_ref, st_ref, mo_ref = out_refs
+    else:
+        po_ref, zo_ref, yo_ref, Bo_ref, st_ref = out_refs
+
     dtype = B_ref.dtype
     Bp = B_ref[:]         # (n, n, TL) current BFGS Hessian estimate
     A = J_ref[:]          # (m, n, TL) constraint Jacobian
@@ -543,28 +707,47 @@ def _sqp_step_kernel(
 
     loose = (l < -LOOSE_BOUNDS_THRESH) & (u > LOOSE_BOUNDS_THRESH)
     equality = (u - l) < RHO_TOL
-    rho = jnp.full((1, TL), rho0, dtype)
-    rho_vec0 = _rho_from(rho, loose, equality)
     done0 = 1.0 - act0
     zero_row = jnp.zeros((1, TL), dtype)
+    nfact0 = zero_row
 
-    # initial factor (outside the core, so a pivot failure can repair B
-    # before the solve) — skipped entirely when the whole tile is inactive
-    def initial_factor(_):
-        return _factor_schur(Bn, A, rho_vec0, sigma, eye_n)
+    if in_minv:
+        # SOC re-solve: same (B, J), new bounds — reuse the carried-in
+        # factor and rho (reference TODO src/sqp.cpp:273)
+        Minv = mi_ref[:]
+        rho_in = msk[3:4]
+        rho = jnp.where(rho_in > 0.0, rho_in, rho0)
+        failv = zero_row
+    else:
+        rho = jnp.full((1, TL), rho0, dtype)
+        rho_vec0 = _rho_from(rho, loose, equality)
 
-    def skip_factor(_):
-        return jnp.zeros((n, n, TL), dtype), zero_row
+        # initial factor (outside the core, so a pivot failure can repair
+        # B before the solve) — skipped when the whole tile is inactive
+        def initial_factor(args):
+            Minv_new, f = _factor_schur(Bn, A, rho_vec0, sigma, eye_n)
+            return Minv_new, f, args[2] + 1.0
 
-    Minv, f = lax.cond(jnp.any(act0 > 0.0), initial_factor, skip_factor, 0)
-    bad = f * act0  # (1, TL): posdef fallback lanes
-    Bn = jnp.where((bad > 0.0)[:, None, :], eye_n, Bn)
+        def skip_factor(args):
+            return args
 
-    def refactor(args):
-        return _factor_schur(Bn, A, rho_vec0, sigma, eye_n)
+        Minv, f, nfact0 = lax.cond(
+            jnp.any(act0 > 0.0),
+            initial_factor,
+            skip_factor,
+            (jnp.zeros((n, n, TL), dtype), zero_row, nfact0),
+        )
+        bad = f * act0  # (1, TL): posdef fallback lanes
+        Bn = jnp.where((bad > 0.0)[:, None, :], eye_n, Bn)
 
-    Minv, f = lax.cond(jnp.any(bad > 0.0), refactor, lambda a: a, (Minv, f))
-    failv = f * act0
+        def refactor(args):
+            Minv_new, f2 = _factor_schur(Bn, A, rho_vec0, sigma, eye_n)
+            return Minv_new, f2, args[2] + 1.0
+
+        Minv, f, nfact0 = lax.cond(
+            jnp.any(bad > 0.0), refactor, lambda a: a, (Minv, f, nfact0)
+        )
+        failv = f * act0
 
     ec = _admm_core(
         Bn, A, q, l, u, x_ref[:], z_ref[:], y_ref[:],
@@ -576,14 +759,164 @@ def _sqp_step_kernel(
         eye_n=eye_n, loose=loose, equality=equality,
     )
     x, z, y, done, failv, itc, rho_f, rho_upd, rho_est, rp, rd = ec[:11]
+    nfact = nfact0 + ec[15]
 
     po_ref[:] = x
     zo_ref[:] = z
     yo_ref[:] = y
     Bo_ref[:] = Bn
     st_ref[:] = jnp.concatenate(
-        [done, itc, rp, rd, failv, rho_upd, rho_est, rho_f], axis=0
+        [done, itc, rp, rd, failv, rho_upd, rho_est, rho_f, nfact], axis=0
     )
+    if out_minv:
+        mo_ref[:] = ec[14]
+
+
+def _kkt_polish_kernel(H_ref, J_ref, e_ref, rhs_ref, sol_ref, st_ref,
+                       *, n, m, delta, refine):
+    """Regularized Newton-KKT polish solve for a tile of problems:
+
+        [[H + delta I,  J'     ],   [dx]   [rhs_x]
+         [J,            -diag(e)]]  [nu] = [rhs_c]
+
+    via in-kernel quasi-definite LDL' (pivot-free; the +/- regularization
+    makes the matrix strictly quasi-definite) + `refine` rounds of
+    iterative refinement.  The XLA-level equivalent (ops.linear_solver.
+    ldlt_factor on (B, n+m, n+m)) streams the full matrix batch through
+    HBM once per column — ~300 ms at B=1024, n=128; in VMEM it's ~10 ms.
+    """
+    dtype = H_ref.dtype
+    H = H_ref[:]         # (n, n, TL)
+    J = J_ref[:]         # (m, n, TL)
+    e = e_ref[:]         # (m, TL)
+    rhs = rhs_ref[:]     # (D, TL)
+    TL = e.shape[-1]
+    D = n + m
+
+    row_n = lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
+    col_n = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
+    eye_n = (row_n == col_n).astype(dtype)
+    row_m = lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
+    col_m = lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
+    eye_m = (row_m == col_m).astype(dtype)
+
+    JT = jnp.swapaxes(J, 0, 1)  # (n, m, TL)
+    K = jnp.concatenate(
+        [
+            jnp.concatenate([H + delta * eye_n, JT], axis=1),       # (n, D, TL)
+            jnp.concatenate([J, -(e[:, None, :] * eye_m)], axis=1),  # (m, D, TL)
+        ],
+        axis=0,
+    )  # (D, D, TL)
+
+    L, d, fail = _ldlt_blocked_t(K)
+    del K  # the refinement residual is rebuilt from H/J/e so the full
+    # KKT matrix does not stay live through the solve (VMEM: D^2 per lane)
+
+    def K_apply(s):
+        dx, nu = s[:n], s[n:]
+        top = (
+            jnp.sum(H * dx[None, :, :], axis=1)
+            + delta * dx
+            + jnp.sum(J * nu[:, None, :], axis=0)
+        )
+        bot = jnp.sum(J * dx[None, :, :], axis=1) - e * nu
+        return jnp.concatenate([top, bot], axis=0)
+
+    sol = _ldlt_solve_t(L, d, rhs)
+    for _ in range(refine):
+        r = rhs - K_apply(sol)
+        sol = sol + _ldlt_solve_t(L, d, r)
+
+    sol_ref[:] = sol
+    zero = jnp.zeros((1, TL), dtype)
+    st_ref[:] = jnp.concatenate([fail] + [zero] * 7, axis=0)
+
+
+def _polish_lane_tile(n: int, m: int, vmem_budget: int = _VMEM_CAP) -> int:
+    # measured live set at D=257: K + L panels + shrinking trailing copies
+    # + the refinement residual pass + double-buffered operands runs ~5x
+    # D^2 per lane (166 MB at TL=128 — past the chip's 128 MB)
+    D = n + m
+    per_lane = 4 * (5 * D * D + n * n + m * n + 10 * D)
+    tl = 128
+    while tl > 8 and per_lane * tl > vmem_budget:
+        tl //= 2
+    return tl
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n", "m", "delta", "refine", "lane_tile", "interpret"),
+)
+def _kkt_polish_call(Ht, Jt, et, rhst, *, n, m, delta, refine, lane_tile, interpret):
+    B = et.shape[-1]
+    D = n + m
+    grid = (B // lane_tile,)
+
+    def spec(*lead):
+        return pl.BlockSpec(
+            lead + (lane_tile,),
+            lambda i: (0,) * len(lead) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _kkt_polish_kernel, n=n, m=m, delta=delta, refine=refine
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(n, n), spec(m, n), spec(m), spec(D)],
+        out_specs=(spec(D), spec(8)),
+        out_shape=(
+            jax.ShapeDtypeStruct((D, B), et.dtype),
+            jax.ShapeDtypeStruct((8, B), et.dtype),
+        ),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * D * D * D // 3,
+            bytes_accessed=B * (n * n + m * n + 3 * D) * 4,
+            transcendentals=0,
+        ),
+    )(Ht, Jt, et, rhst)
+
+
+def kkt_polish_kernel(Ht, Jt, et, rhst, delta=1e-6, refine=1, interpret=False):
+    """Batched regularized KKT polish solve in transposed layout.
+
+    Ht (n,n,B) Hessian, Jt (m,n,B) Jacobian, et (m,B) +/- regularization
+    weights, rhst (n+m,B) right-hand side.  Returns (sol (n+m,B),
+    fail (B,) f32).  Pads B to the lane tile internally.
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True
+    n = Ht.shape[0]
+    m = et.shape[0]
+    B = et.shape[-1]
+    lane_tile = _polish_lane_tile(n, m)
+    pad = (-B) % lane_tile
+    args = (Ht, Jt, et, rhst)
+    if pad:
+        args = tuple(
+            jnp.concatenate([v, jnp.ones(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
+            for v in args
+        )
+    def call_one(*a):
+        return _kkt_polish_call(
+            *a, n=n, m=m, delta=float(delta), refine=int(refine),
+            lane_tile=lane_tile, interpret=interpret,
+        )
+
+    Bp = args[2].shape[-1]  # padded batch
+    if lane_tile < 128 and not interpret:
+        sol, st = _chunked_lanes(call_one, args, Bp, lane_tile)
+    else:
+        sol, st = call_one(*args)
+    if pad:
+        sol, st = sol[..., :B], st[..., :B]
+    return sol, st[0]
 
 
 @functools.partial(
@@ -591,15 +924,15 @@ def _sqp_step_kernel(
     static_argnames=(
         "n", "m", "sigma", "alpha", "rho0", "eps_abs", "eps_rel", "n_epochs",
         "chunks_per_epoch", "seg", "adaptive_rho", "adaptive_rho_tolerance",
-        "lane_tile", "interpret", "do_bfgs",
+        "lane_tile", "interpret", "do_bfgs", "in_minv", "out_minv",
     ),
 )
 def _sqp_step_call(
-    Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt,
-    *, n, m, sigma, alpha, rho0, eps_abs, eps_rel, n_epochs,
+    *args, n, m, sigma, alpha, rho0, eps_abs, eps_rel, n_epochs,
     chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
-    lane_tile, interpret, do_bfgs,
+    lane_tile, interpret, do_bfgs, in_minv, out_minv,
 ):
+    gt = args[2]
     B = gt.shape[-1]
     grid = (B // lane_tile,)
 
@@ -615,21 +948,30 @@ def _sqp_step_call(
         eps_abs=eps_abs, eps_rel=eps_rel, n_epochs=n_epochs,
         chunks_per_epoch=chunks_per_epoch, seg=seg, adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance, do_bfgs=do_bfgs,
+        in_minv=in_minv, out_minv=out_minv,
     )
     total_iters = n_epochs * chunks_per_epoch * seg
+    in_specs = [spec(n, n), spec(m, n), spec(n), spec(m), spec(m),
+                spec(n), spec(n), spec(8), spec(n), spec(m), spec(m)]
+    if in_minv:
+        in_specs.append(spec(n, n))
+    out_specs = [spec(n), spec(m), spec(m), spec(n, n), spec(9)]
+    out_shape = [
+        jax.ShapeDtypeStruct((n, B), gt.dtype),
+        jax.ShapeDtypeStruct((m, B), gt.dtype),
+        jax.ShapeDtypeStruct((m, B), gt.dtype),
+        jax.ShapeDtypeStruct((n, n, B), gt.dtype),
+        jax.ShapeDtypeStruct((9, B), gt.dtype),
+    ]
+    if out_minv:
+        out_specs.append(spec(n, n))
+        out_shape.append(jax.ShapeDtypeStruct((n, n, B), gt.dtype))
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[spec(n, n), spec(m, n), spec(n), spec(m), spec(m),
-                  spec(n), spec(n), spec(8), spec(n), spec(m), spec(m)],
-        out_specs=(spec(n), spec(m), spec(m), spec(n, n), spec(8)),
-        out_shape=(
-            jax.ShapeDtypeStruct((n, B), gt.dtype),
-            jax.ShapeDtypeStruct((m, B), gt.dtype),
-            jax.ShapeDtypeStruct((m, B), gt.dtype),
-            jax.ShapeDtypeStruct((n, n, B), gt.dtype),
-            jax.ShapeDtypeStruct((8, B), gt.dtype),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         cost_estimate=pl.CostEstimate(
@@ -638,13 +980,15 @@ def _sqp_step_call(
             bytes_accessed=B * (2 * n * n + m * n) * 4,
             transcendentals=B * n * n_epochs,
         ),
-    )(Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt)
+    )(*args)
 
 
 def sqp_step_kernel(
     Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt,
     settings: QPSettings,
     do_bfgs: bool = True,
+    minv_in=None,
+    want_minv: bool = False,
     interpret: bool = False,
 ):
     """Fused BFGS + posdef fallback + warm-started QP solve, transposed
@@ -653,9 +997,14 @@ def sqp_step_kernel(
     Inputs: Bt (n,n,B) Hessian, Jt (m,n,B) Jacobian, gt (n,B) gradient,
     lt/ut (m,B) shifted bounds, st_ (n,B) step, dglt (n,B) Lagrangian
     gradient delta, mskt (8,B) f32 rows [reset, update-allowed, active,
-    0...], xt/zt/yt warm-start iterates.  Returns (p, z, lam, B_new, st)
-    with st rows [done, iter, res_prim, res_dual, fail, rho_updates,
-    rho_estimate, rho_final].  B is padded to the lane tile internally.
+    rho-in, 0...], xt/zt/yt warm-start iterates.  Returns (p, z, lam,
+    B_new, st[, Minv]) with st rows [done, iter, res_prim, res_dual,
+    fail, rho_updates, rho_estimate, rho_final, n_factorizations].
+
+    ``minv_in`` (n,n,B) reuses a previous solve's factor (put its final
+    rho in msk row 3) — the SOC re-solve path where only l, u change
+    skips the setup factorization entirely.  ``want_minv`` emits the
+    final factor for such reuse.  B is padded to the lane tile internally.
     """
     if jax.default_backend() != "tpu":
         interpret = True
@@ -668,9 +1017,11 @@ def sqp_step_kernel(
     chunks_per_epoch = max(1, -(-min(interval, settings.max_iter) // seg))
     n_epochs = max(1, -(-settings.max_iter // (chunks_per_epoch * seg)))
 
-    lane_tile = pick_lane_tile(n, m)
+    lane_tile = _step_lane_tile(n, m)
     pad = (-B) % lane_tile
     args = (Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt)
+    if minv_in is not None:
+        args = args + (minv_in,)
     if pad:
         # pad problems on the last axis; padded lanes are inactive (msk=0)
         args = tuple(
@@ -679,16 +1030,24 @@ def sqp_step_kernel(
             )
             for v in args
         )
-    out = _sqp_step_call(
-        *args,
-        n=n, m=m, sigma=float(settings.sigma), alpha=float(settings.alpha),
-        rho0=float(settings.rho), eps_abs=float(settings.eps_abs),
-        eps_rel=float(settings.eps_rel), n_epochs=n_epochs,
-        chunks_per_epoch=chunks_per_epoch, seg=seg,
-        adaptive_rho=bool(settings.adaptive_rho),
-        adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
-        lane_tile=lane_tile, interpret=interpret, do_bfgs=do_bfgs,
-    )
+    def call_one(*a):
+        return _sqp_step_call(
+            *a,
+            n=n, m=m, sigma=float(settings.sigma), alpha=float(settings.alpha),
+            rho0=float(settings.rho), eps_abs=float(settings.eps_abs),
+            eps_rel=float(settings.eps_rel), n_epochs=n_epochs,
+            chunks_per_epoch=chunks_per_epoch, seg=seg,
+            adaptive_rho=bool(settings.adaptive_rho),
+            adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
+            lane_tile=lane_tile, interpret=interpret, do_bfgs=do_bfgs,
+            in_minv=minv_in is not None, out_minv=want_minv,
+        )
+
+    Bp = args[2].shape[-1]  # padded batch
+    if lane_tile < 128 and not interpret:
+        out = _chunked_lanes(call_one, args, Bp, lane_tile)
+    else:
+        out = call_one(*args)
     if pad:
         out = tuple(v[..., :B] for v in out)
     return out
@@ -797,16 +1156,23 @@ def qp_solve_kernel(
     At = jnp.moveaxis(A, 0, -1)
     qt, lt, ut, xt, zt, yt = (jnp.moveaxis(v, 0, -1) for v in (q, l, u, x0, z0, y0))
 
-    x, z, y, st = _qp_kernel_call(
-        Pt, At, qt, lt, ut, xt, zt, yt,
-        n=n, m=m, sigma=float(settings.sigma), alpha=float(settings.alpha),
-        rho0=float(settings.rho), eps_abs=float(settings.eps_abs),
-        eps_rel=float(settings.eps_rel), n_epochs=n_epochs,
-        chunks_per_epoch=chunks_per_epoch, seg=seg,
-        adaptive_rho=bool(settings.adaptive_rho),
-        adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
-        lane_tile=lane_tile, interpret=interpret,
-    )
+    def call_one(*a):
+        return _qp_kernel_call(
+            *a,
+            n=n, m=m, sigma=float(settings.sigma), alpha=float(settings.alpha),
+            rho0=float(settings.rho), eps_abs=float(settings.eps_abs),
+            eps_rel=float(settings.eps_rel), n_epochs=n_epochs,
+            chunks_per_epoch=chunks_per_epoch, seg=seg,
+            adaptive_rho=bool(settings.adaptive_rho),
+            adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
+            lane_tile=lane_tile, interpret=interpret,
+        )
+
+    args = (Pt, At, qt, lt, ut, xt, zt, yt)
+    if lane_tile < 128 and not interpret:
+        x, z, y, st = _chunked_lanes(call_one, args, B, lane_tile)
+    else:
+        x, z, y, st = call_one(*args)
     x, z, y, st = (jnp.moveaxis(v, -1, 0) for v in (x, z, y, st))
     done = st[:, 0] > 0.5
     failed = st[:, 4] > 0.5

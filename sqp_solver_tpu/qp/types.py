@@ -136,8 +136,8 @@ class QPSettings:
         if self.adaptive_rho_interval <= 0:
             raise ValueError("adaptive_rho_interval must be > 0")
         if self.linear_solver not in (
-            "schur_cholesky", "schur_cholesky_tri", "kkt_ldlt", "cg",
-            "schur_block_tridiag",
+            "schur_cholesky", "schur_cholesky_tri", "schur_cholesky_blocked",
+            "kkt_ldlt", "cg", "schur_block_tridiag",
         ):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
         if self.linear_solver == "schur_block_tridiag" and self.block_size <= 0:

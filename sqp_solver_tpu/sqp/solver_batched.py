@@ -424,63 +424,84 @@ def sqp_solve_fused(
         # linear-solve accuracy instead of ADMM tolerance.
         from sqp_solver_tpu.ops.linear_solver import ldlt_factor, ldlt_solve
 
-        obj_f, grad_f = f_lin_b(x_out, params) if has_params else f_lin_b(x_out)
-        c_f, J_f = c_lin_b(x_out, params) if has_params else c_lin_b(x_out)
-        ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out), axis=-1, keepdims=True))
-        act_low = lam_out < -ytol
-        act_up = lam_out > ytol
-        act = act_low | act_up
-        b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
-        # TRUE Lagrangian Hessian by autodiff (the BFGS estimate caps the
-        # Newton step's gain at ~1 digit; the exact Hessian gives the full
-        # quadratic correction — measured 6e-4 -> 8e-8 on the benchmark
-        # family).  Computed once per solve; cost ~ one jacfwd-of-grad.
-        if has_params:
-            lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
-            H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0))(
-                x_out, lam_out, params
+        # repeated passes re-guess the active set from the polished
+        # multipliers — a mini active-set iteration that rescues
+        # instances whose first guess was wrong (degenerate sets)
+        kkt_rescued = jnp.zeros((B,), jnp.bool_)
+        for _pol_pass in range(settings.polish_passes):
+            obj_f, grad_f = f_lin_b(x_out, params) if has_params else f_lin_b(x_out)
+            c_f, J_f = c_lin_b(x_out, params) if has_params else c_lin_b(x_out)
+            ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out), axis=-1, keepdims=True))
+            act_low = lam_out < -ytol
+            act_up = lam_out > ytol
+            act = act_low | act_up
+            b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
+            # TRUE Lagrangian Hessian by autodiff (the BFGS estimate caps the
+            # Newton step's gain at ~1 digit; the exact Hessian gives the full
+            # quadratic correction — measured 6e-4 -> 8e-8 on the benchmark
+            # family).  Computed once per solve; cost ~ one jacfwd-of-grad.
+            if has_params:
+                lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
+                H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0))(
+                    x_out, lam_out, params
+                )
+            else:
+                lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
+                H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0))(x_out, lam_out)
+            # fall back to the BFGS estimate where the true Hessian is NaN
+            H_bad = jnp.isnan(H_b).any(axis=(-1, -2))
+            H_b = jnp.where(H_bad[:, None, None], final.B, H_b)
+            delta = 1e-6
+            e = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
+            eye_m = jnp.eye(m, dtype=dtype)
+            K = jnp.concatenate(
+                [
+                    jnp.concatenate([H_b + delta * jnp.eye(n, dtype=dtype), J_f.mT], axis=-1),
+                    jnp.concatenate([J_f, -e[..., :, None] * eye_m], axis=-1),
+                ],
+                axis=-2,
             )
-        else:
-            lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
-            H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0))(x_out, lam_out)
-        # fall back to the BFGS estimate where the true Hessian is NaN
-        H_bad = jnp.isnan(H_b).any(axis=(-1, -2))
-        H_b = jnp.where(H_bad[:, None, None], final.B, H_b)
-        delta = 1e-6
-        e = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
-        eye_m = jnp.eye(m, dtype=dtype)
-        K = jnp.concatenate(
-            [
-                jnp.concatenate([H_b + delta * jnp.eye(n, dtype=dtype), J_f.mT], axis=-1),
-                jnp.concatenate([J_f, -e[..., :, None] * eye_m], axis=-1),
-            ],
-            axis=-2,
-        )
-        rhs = jnp.concatenate([-(grad_f), b_t - c_f], axis=-1)
-        Lk, dk = ldlt_factor(K)
-        sol = ldlt_solve(Lk, dk, rhs)
-        sol = sol + ldlt_solve(Lk, dk, rhs - _mv(K, sol))
-        x_pol = x_out + sol[..., :n]
-        lam_pol = jnp.where(act, sol[..., n:], 0.0)
+            rhs = jnp.concatenate([-(grad_f), b_t - c_f], axis=-1)
+            Lk, dk = ldlt_factor(K)
+            sol = ldlt_solve(Lk, dk, rhs)
+            sol = sol + ldlt_solve(Lk, dk, rhs - _mv(K, sol))
+            x_pol = x_out + sol[..., :n]
+            lam_pol = jnp.where(act, sol[..., n:], 0.0)
 
-        # accept per problem where the true KKT error (re-linearized at the
-        # polished point) improves
-        def kkt_err(xx, ll):
-            _, g = f_lin_b(xx, params) if has_params else f_lin_b(xx)
-            cv, J = c_lin_b(xx, params) if has_params else c_lin_b(xx)
-            stat = _linf(g + _mv(J.mT, ll))
-            viol = max_violation(cv)
-            return jnp.maximum(stat, viol)
+            # accept per problem where the true KKT error (re-linearized at the
+            # polished point) improves
+            def kkt_parts(xx, ll):
+                _, g = f_lin_b(xx, params) if has_params else f_lin_b(xx)
+                cv, J = c_lin_b(xx, params) if has_params else c_lin_b(xx)
+                stat = _linf(g + _mv(J.mT, ll))
+                viol = max_violation(cv)
+                return stat, viol
 
-        bad = jnp.isnan(x_pol).any(-1) | jnp.isnan(lam_pol).any(-1)
-        better = (kkt_err(x_pol, lam_pol) < kkt_err(x_out, lam_out)) & (~bad)
-        x_out = jnp.where(better[:, None], x_pol, x_out)
-        lam_out = jnp.where(better[:, None], lam_pol, lam_out)
+            bad = jnp.isnan(x_pol).any(-1) | jnp.isnan(lam_pol).any(-1)
+            stat_p, viol_p = kkt_parts(x_pol, lam_pol)
+            stat_o, viol_o = kkt_parts(x_out, lam_out)
+            better = (
+                jnp.maximum(stat_p, viol_p) < jnp.maximum(stat_o, viol_o)
+            ) & (~bad)
+            x_out = jnp.where(better[:, None], x_pol, x_out)
+            lam_out = jnp.where(better[:, None], lam_pol, lam_out)
+            # status refresh: judge the FINAL point against the KKT
+            # tolerances — a straggler whose polished point is optimal is
+            # SOLVED even though the loop phase ran out of iterations (the
+            # rescue for degenerate-active-set instances)
+            stat_f = jnp.where(better, stat_p, stat_o)
+            viol_f = jnp.where(better, viol_p, viol_o)
+            kkt_rescued = (stat_f <= settings.eps_dual) & (viol_f <= settings.eps_prim)
+
+    else:
+        kkt_rescued = jnp.zeros((B,), jnp.bool_)
 
     status = jnp.where(
         final.failed,
         SQPStatus.NUMERICAL_ISSUES,
-        jnp.where(final.done, SQPStatus.SOLVED, SQPStatus.MAX_ITER_EXCEEDED),
+        jnp.where(
+            final.done | kkt_rescued, SQPStatus.SOLVED, SQPStatus.MAX_ITER_EXCEEDED
+        ),
     ).astype(jnp.int32)
     info = SQPInfo(
         status=status,

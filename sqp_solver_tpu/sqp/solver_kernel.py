@@ -195,11 +195,13 @@ def sqp_solve_kernel_fused(
         return alpha, accepted
 
     def kernel_qp(Bt, Jt, grad_obj, lqp, uqp, step_prev, dgl, reset, upd,
-                  active, qp_state, do_bfgs):
+                  active, qp_state, do_bfgs, minv_in=None, rho_in=None,
+                  want_minv=False):
         zrow = jnp.zeros((B,), dtype)
+        rho_row = rho_in if rho_in is not None else zrow
         mskt = jnp.stack(
             [reset.astype(dtype), upd.astype(dtype), active.astype(dtype),
-             zrow, zrow, zrow, zrow, zrow],
+             rho_row.astype(dtype), zrow, zrow, zrow, zrow],
             axis=0,
         )  # (8, B)
         if settings.qp_warm_start:
@@ -208,11 +210,14 @@ def sqp_solve_kernel_fused(
             xt = jnp.zeros((n, B), dtype)
             zt = jnp.zeros((m, B), dtype)
             yt = jnp.zeros((m, B), dtype)
-        p_t, z_t, lam_t, Bt_new, stk = sqp_step_kernel(
+        out = sqp_step_kernel(
             Bt, Jt, grad_obj.T, lqp.T, uqp.T, step_prev.T, dgl.T, mskt,
-            xt, zt, yt, settings.qp, do_bfgs=do_bfgs, interpret=interpret,
+            xt, zt, yt, settings.qp, do_bfgs=do_bfgs, minv_in=minv_in,
+            want_minv=want_minv, interpret=interpret,
         )
-        return p_t.T, z_t.T, lam_t.T, Bt_new, stk
+        p_t, z_t, lam_t, Bt_new, stk = out[:5]
+        minv = out[5] if want_minv else None
+        return p_t.T, z_t.T, lam_t.T, Bt_new, stk, minv
 
     def body(c: _Carry) -> _Carry:
         k = c.k + 1
@@ -238,22 +243,29 @@ def sqp_solve_kernel_fused(
         reset = jnp.broadcast_to(k == 1, (B,)) | c.ls_failed
         upd = ~tiny_step
 
-        p, z_qp, lam_qp, Bt_new, stk = kernel_qp(
+        soc = settings.second_order_correction
+        p, z_qp, lam_qp, Bt_new, stk, minv = kernel_qp(
             c.Bt, Jt, grad_obj, l - c_val, u - c_val, c.step_prev,
             delta_grad_L, reset, upd, active, c.qp_state, do_bfgs=True,
+            want_minv=soc,
         )
         qp_iter = c.qp_iter + jnp.where(active, stk[1].astype(jnp.int32), 0)
         qp_state_next = QPState(x=p, z=z_qp, y=lam_qp)
 
-        if settings.second_order_correction:
+        if soc:
             x_p = c.x + p
             cv_p = call(c_b, x_p)
             d = cv_p - jnp.einsum(
                 "mnb,bn->bm", Jt, p, precision=lax.Precision.HIGHEST
             )
-            p, z_soc, lam_qp, _, stk2 = kernel_qp(
+            # factor reuse: only l, u change between the QP and its SOC
+            # re-solve, so the Minv and rho from the first solve carry
+            # over (the reference refactors from scratch — TODO at
+            # src/sqp.cpp:273)
+            p, z_soc, lam_qp, _, stk2, _ = kernel_qp(
                 Bt_new, Jt, grad_obj, l - d, u - d, c.step_prev,
-                delta_grad_L, reset, upd, active, qp_state_next, do_bfgs=False,
+                delta_grad_L, reset, upd, active, qp_state_next,
+                do_bfgs=False, minv_in=minv, rho_in=stk[7],
             )
             qp_iter = qp_iter + jnp.where(active, stk2[1].astype(jnp.int32), 0)
             qp_state_next = QPState(x=p, z=z_soc, y=lam_qp)
@@ -379,70 +391,83 @@ def sqp_solve_kernel_fused(
     if settings.polish:
         # SQP polish: one Newton-KKT step on the guessed active set with
         # the TRUE Lagrangian Hessian (see solver_batched for rationale;
-        # measured 6e-4 -> 8e-8 on the benchmark family)
-        from sqp_solver_tpu.ops.linear_solver import ldlt_factor, ldlt_solve
+        # measured 6e-4 -> 8e-8 on the benchmark family), solved by the
+        # in-kernel quasi-definite LDL' (the XLA batched LDL' streams
+        # (B, n+m, n+m) through HBM per column: ~300 ms at B=1024, n=128)
+        from sqp_solver_tpu.ops.qp_kernel import kkt_polish_kernel
 
-        obj_f, grad_f = call(f_lin_b, x_out)
-        c_f, Jt_f = call(c_lin_b, x_out)
-        J_f = jnp.moveaxis(Jt_f, -1, 0)  # (B, m, n) — one transpose, once
-        ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out), axis=-1, keepdims=True))
-        act_low = lam_out < -ytol
-        act_up = lam_out > ytol
-        act = act_low | act_up
-        b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
-        if has_params:
-            lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
-            H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0))(
-                x_out, lam_out, params
+        # repeated passes re-guess the active set from the polished
+        # multipliers — a mini active-set iteration that rescues
+        # instances whose first guess was wrong (degenerate sets)
+        kkt_rescued = jnp.zeros((B,), jnp.bool_)
+        for _pol_pass in range(settings.polish_passes):
+            obj_f, grad_f = call(f_lin_b, x_out)
+            c_f, Jt_f = call(c_lin_b, x_out)  # (B, m), (m, n, B)
+            ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out), axis=-1, keepdims=True))
+            act_low = lam_out < -ytol
+            act_up = lam_out > ytol
+            act = act_low | act_up
+            b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
+            if has_params:
+                lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
+                H_t = jax.vmap(
+                    jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0), out_axes=-1
+                )(x_out, lam_out, params)
+            else:
+                lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
+                H_t = jax.vmap(
+                    jax.hessian(lagr, argnums=0), in_axes=(0, 0), out_axes=-1
+                )(x_out, lam_out)
+            H_bad = jnp.isnan(H_t).any(axis=(0, 1))  # (B,)
+            H_t = jnp.where(H_bad[None, None, :], final.Bt, H_t)
+            delta = 1e-6
+            e = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
+            rhs = jnp.concatenate([-(grad_f), b_t - c_f], axis=-1)  # (B, n+m)
+            sol_t, fail_pol = kkt_polish_kernel(
+                H_t, Jt_f, e.T, rhs.T, delta=delta, refine=1, interpret=interpret
             )
-        else:
-            lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
-            H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0))(
-                x_out, lam_out
-            )
-        H_bad = jnp.isnan(H_b).any(axis=(-1, -2))
-        Bq = jnp.moveaxis(final.Bt, -1, 0)
-        H_b = jnp.where(H_bad[:, None, None], Bq, H_b)
-        delta = 1e-6
-        e = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
-        eye_m = jnp.eye(m, dtype=dtype)
-        K = jnp.concatenate(
-            [
-                jnp.concatenate(
-                    [H_b + delta * jnp.eye(n, dtype=dtype), J_f.mT], axis=-1
-                ),
-                jnp.concatenate([J_f, -e[..., :, None] * eye_m], axis=-1),
-            ],
-            axis=-2,
-        )
-        rhs = jnp.concatenate([-(grad_f), b_t - c_f], axis=-1)
-        Lk, dk = ldlt_factor(K)
-        sol = ldlt_solve(Lk, dk, rhs)
-        sol = sol + ldlt_solve(
-            Lk, dk,
-            rhs - jnp.einsum("bij,bj->bi", K, sol, precision=lax.Precision.HIGHEST),
-        )
-        x_pol = x_out + sol[..., :n]
-        lam_pol = jnp.where(act, sol[..., n:], 0.0)
+            sol = sol_t.T
+            x_pol = x_out + sol[..., :n]
+            lam_pol = jnp.where(act, sol[..., n:], 0.0)
 
-        def kkt_err(xx, ll):
-            _, g = call(f_lin_b, xx)
-            cv, Jt_ = call(c_lin_b, xx)
-            stat = _linf(
-                g + jnp.einsum("mnb,bm->bn", Jt_, ll, precision=lax.Precision.HIGHEST)
-            )
-            viol = max_violation(cv)
-            return jnp.maximum(stat, viol)
+            def kkt_parts(xx, ll):
+                _, g = call(f_lin_b, xx)
+                cv, Jt_ = call(c_lin_b, xx)
+                stat = _linf(
+                    g + jnp.einsum("mnb,bm->bn", Jt_, ll, precision=lax.Precision.HIGHEST)
+                )
+                viol = max_violation(cv)
+                return stat, viol
 
-        bad = jnp.isnan(x_pol).any(-1) | jnp.isnan(lam_pol).any(-1)
-        better = (kkt_err(x_pol, lam_pol) < kkt_err(x_out, lam_out)) & (~bad)
-        x_out = jnp.where(better[:, None], x_pol, x_out)
-        lam_out = jnp.where(better[:, None], lam_pol, lam_out)
+            bad = (
+                jnp.isnan(x_pol).any(-1)
+                | jnp.isnan(lam_pol).any(-1)
+                | (fail_pol > 0.0)
+            )
+            stat_p, viol_p = kkt_parts(x_pol, lam_pol)
+            stat_o, viol_o = kkt_parts(x_out, lam_out)
+            better = (
+                jnp.maximum(stat_p, viol_p) < jnp.maximum(stat_o, viol_o)
+            ) & (~bad)
+            x_out = jnp.where(better[:, None], x_pol, x_out)
+            lam_out = jnp.where(better[:, None], lam_pol, lam_out)
+            # status refresh: judge the FINAL point against the KKT
+            # tolerances — a straggler whose polished point is optimal is
+            # SOLVED even though the loop phase ran out of iterations (the
+            # rescue for degenerate-active-set instances)
+            stat_f = jnp.where(better, stat_p, stat_o)
+            viol_f = jnp.where(better, viol_p, viol_o)
+            kkt_rescued = (stat_f <= settings.eps_dual) & (viol_f <= settings.eps_prim)
+
+    else:
+        kkt_rescued = jnp.zeros((B,), jnp.bool_)
 
     status = jnp.where(
         final.failed,
         SQPStatus.NUMERICAL_ISSUES,
-        jnp.where(final.done, SQPStatus.SOLVED, SQPStatus.MAX_ITER_EXCEEDED),
+        jnp.where(
+            final.done | kkt_rescued, SQPStatus.SOLVED, SQPStatus.MAX_ITER_EXCEEDED
+        ),
     ).astype(jnp.int32)
     info = SQPInfo(
         status=status,

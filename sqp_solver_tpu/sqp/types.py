@@ -122,6 +122,10 @@ class SQPSettings:
     qp_warm_start: bool = True
     qp_impl: str = "fused"
     polish: bool = False
+    # Newton-KKT polish passes: each pass re-guesses the active set from
+    # the current multipliers (a mini active-set iteration); the second
+    # pass rescues instances whose first guess was wrong
+    polish_passes: int = 2
     jacobian_mode: str = "fwd"
     termination: str = "step_norm"
     schedule: str = "early_exit"
@@ -149,6 +153,8 @@ class SQPSettings:
             raise ValueError("eps_prim/eps_dual must be > 0")
         if self.max_iter <= 0 or self.line_search_max_iter <= 0:
             raise ValueError("max_iter/line_search_max_iter must be > 0")
+        if self.polish_passes < 0:
+            raise ValueError("polish_passes must be >= 0")
         if self.jacobian_mode not in ("fwd", "rev"):
             raise ValueError(f"jacobian_mode must be 'fwd' or 'rev', got {self.jacobian_mode}")
         if self.termination not in ("step_norm", "kkt"):

@@ -36,7 +36,10 @@ class TestSimpleQP:
         res = qp_solve(qp, QPSettings(eps_abs=1e-9, eps_rel=1e-9, max_iter=20000))
         np.testing.assert_allclose(np.asarray(res.x), SIMPLE_QP_SOLUTION, atol=1e-6)
 
-    @pytest.mark.parametrize("method", ["schur_cholesky", "kkt_ldlt", "cg"])
+    @pytest.mark.parametrize(
+        "method",
+        ["schur_cholesky", "kkt_ldlt", "cg", "schur_cholesky_blocked"],
+    )
     def test_linear_solvers_agree(self, method):
         qp = simple_qp()
         res = qp_solve(qp, QPSettings(linear_solver=method))
@@ -262,3 +265,40 @@ class TestLinearSolverHardening:
         )
         res = qp_solve(bad, QPSettings(linear_solver="kkt_ldlt"))
         assert int(res.info.status) == QPStatus.NUMERICAL_ISSUES
+
+
+class TestBlockedCholesky:
+    """Large-n blocked MXU Cholesky backend (SURVEY C6 north-star kernel)."""
+
+    def test_blocked_factor_matches_default(self):
+        from sqp_solver_tpu.models.mpc import random_qp_batch
+
+        qp = random_qp_batch(batch=1, n=40, m=50, seed=1, dtype=jnp.float64)
+        qp1 = jax.tree.map(lambda v: v[0], qp)
+        ref = qp_solve(qp1, QPSettings(adaptive_rho=True, max_iter=2000))
+        out = qp_solve(
+            qp1,
+            QPSettings(
+                adaptive_rho=True, max_iter=2000,
+                linear_solver="schur_cholesky_blocked",
+            ),
+        )
+        assert int(out.info.status) == QPStatus.SOLVED
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-8)
+
+    def test_blocked_pieces(self):
+        from sqp_solver_tpu.ops.linear_solver import (
+            _blocked_cholesky,
+            _blocked_tri_inv,
+        )
+
+        rng = np.random.default_rng(0)
+        n = 200
+        G = rng.normal(size=(n, n))
+        M = jnp.asarray(G @ G.T + n * np.eye(n))
+        L = _blocked_cholesky(M, bs=64)
+        np.testing.assert_allclose(
+            np.asarray(L @ L.T), np.asarray(M), rtol=1e-10, atol=1e-8
+        )
+        Li = _blocked_tri_inv(L, bs=64)
+        np.testing.assert_allclose(np.asarray(Li @ L), np.eye(n), atol=1e-10)

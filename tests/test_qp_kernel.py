@@ -85,3 +85,52 @@ class TestWholeQPKernel:
             np.asarray(ref.info.rho_estimate)[ok],
             rtol=0.15,
         )
+
+
+class TestSOCFactorReuse:
+    """Factor reuse across bounds-only re-solves (the reference TODO at
+    src/sqp.cpp:273: SOC changes only l, u)."""
+
+    def _inputs(self, qp):
+        B, n = qp.q.shape
+        m = qp.A.shape[-2]
+        Bt = jnp.moveaxis(qp.P, 0, -1)
+        Jt = jnp.moveaxis(qp.A, 0, -1)
+        zn = jnp.zeros((n, B), jnp.float32)
+        zm = jnp.zeros((m, B), jnp.float32)
+        msk = jnp.zeros((8, B), jnp.float32).at[2].set(1.0)  # active only
+        return Bt, Jt, qp.q.T, qp.l.T, qp.u.T, zn, zn, msk, zn, zm, zm
+
+    def test_reuse_skips_setup_factorization(self):
+        from sqp_solver_tpu.ops.qp_kernel import sqp_step_kernel
+
+        qp = random_qp_batch(batch=8, n=6, m=9, seed=2, dtype=jnp.float32)
+        s = QPSettings(alpha=1.6, eps_abs=1e-5, eps_rel=1e-5, max_iter=200,
+                       check_termination=25, adaptive_rho=True,
+                       adaptive_rho_interval=50, schedule="fixed")
+        Bt, Jt, gt, lt, ut, st_, dgl, msk, x0, z0, y0 = self._inputs(qp)
+        p1, z1, y1, B1, st1, minv = sqp_step_kernel(
+            Bt, Jt, gt, lt, ut, st_, dgl, msk, x0, z0, y0, s,
+            do_bfgs=False, want_minv=True, interpret=True,
+        )
+        assert np.asarray(st1[8]).min() >= 1  # at least the setup factor
+
+        # bounds-only re-solve, warm-started, with the carried factor
+        lt2, ut2 = lt - 0.01, ut - 0.01
+        msk2 = msk.at[3].set(st1[7])  # rho carried over
+        out_reuse = sqp_step_kernel(
+            B1, Jt, gt, lt2, ut2, st_, dgl, msk2, p1, z1, y1, s,
+            do_bfgs=False, minv_in=minv, interpret=True,
+        )
+        out_fresh = sqp_step_kernel(
+            B1, Jt, gt, lt2, ut2, st_, dgl, msk, p1, z1, y1, s,
+            do_bfgs=False, interpret=True,
+        )
+        st_reuse, st_fresh = out_reuse[4], out_fresh[4]
+        # the reuse path performed NO setup factorization
+        assert np.asarray(st_reuse[8]).max() == 0
+        assert np.asarray(st_fresh[8]).min() >= 1
+        # and produced the same solution
+        np.testing.assert_allclose(
+            np.asarray(out_reuse[0]), np.asarray(out_fresh[0]), atol=1e-4
+        )
