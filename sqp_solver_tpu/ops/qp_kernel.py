@@ -834,11 +834,11 @@ def _kkt_polish_kernel(H_ref, J_ref, e_ref, rhs_ref, sol_ref, st_ref,
 
 
 def _polish_lane_tile(n: int, m: int, vmem_budget: int = _VMEM_CAP) -> int:
-    # measured live set at D=257: K + L panels + shrinking trailing copies
-    # + the refinement residual pass + double-buffered operands runs ~5x
-    # D^2 per lane (166 MB at TL=128 — past the chip's 128 MB)
+    # measured (Mosaic compile-reported) live set at D=257: the K assembly
+    # concats, the LDL' trailing matrix + panel list + assembled L, and the
+    # substitution blocks add up to ~8.3 D^2 words per lane — budget 9
     D = n + m
-    per_lane = 4 * (5 * D * D + n * n + m * n + 10 * D)
+    per_lane = 4 * (9 * D * D + 12 * D)
     tl = 128
     while tl > 8 and per_lane * tl > vmem_budget:
         tl //= 2

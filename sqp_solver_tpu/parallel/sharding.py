@@ -69,12 +69,16 @@ def sharded_qp_solve_batch(
     qp: QuadraticProblem,
     settings: QPSettings = QPSettings(),
     mesh: Optional[Mesh] = None,
+    impl: str = "vmap",
 ) -> QPResult:
-    """Batch-of-QPs solve, batch axis sharded over the mesh via shard_map."""
+    """Batch-of-QPs solve, batch axis sharded over the mesh via shard_map.
+
+    ``impl`` selects the per-device solver tier ("vmap" / "fused" /
+    "kernel") — each device runs it on its local shard."""
     mesh = mesh or make_mesh()
 
     def local(qp_shard):
-        return qp_solve_batch(qp_shard, settings)
+        return qp_solve_batch(qp_shard, settings, impl=impl)
 
     spec = _batch_spec(qp, mesh)
     out_spec = jax.tree.map(
@@ -91,17 +95,22 @@ def sharded_sqp_solve_batch(
     lam0: Optional[jax.Array] = None,
     settings: SQPSettings = SQPSettings(),
     mesh: Optional[Mesh] = None,
+    impl: str = "vmap",
 ) -> SQPResult:
     """Batch-of-NLPs solve, batch axis sharded over the mesh.
 
     The problem's data leaves must be batched (leading B) so each device
     receives its shard; use ``jax.tree.map(lambda a: jnp.broadcast_to(...))``
-    to batch shared data.
+    to batch shared data.  ``impl="fused"`` runs the production tier
+    (including the fused SQP-step kernel when ``settings.qp_impl ==
+    "kernel"``) independently on every device's shard — the parallelism
+    stays embarrassingly data-parallel, so kernels and collectives never
+    interact.
     """
     mesh = mesh or make_mesh()
 
     def local(prob_shard, x0_shard, lam0_shard):
-        return sqp_solve_batch(prob_shard, x0_shard, lam0_shard, settings)
+        return sqp_solve_batch(prob_shard, x0_shard, lam0_shard, settings, impl=impl)
 
     if lam0 is None:
         m = problem.num_constr

@@ -64,3 +64,51 @@ class TestShardedSQP:
         )
         np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-12)
         assert np.all(np.asarray(out.info.status) == SQPStatus.SOLVED)
+
+
+class TestShardedKernelPath:
+    """The production tier (fused SQP-step kernel) under shard_map: every
+    device runs the whole kernel pipeline on its local batch shard."""
+
+    def test_sqp_kernel_impl_sharded(self, mesh):
+        from sqp_solver_tpu.models.benchmark import (
+            sphere_cap_nlp_batch,
+            sphere_cap_solution,
+        )
+
+        B, N = 32, 8
+        problem, x0 = sphere_cap_nlp_batch(B, N, dtype=jnp.float32)
+        s = SQPSettings(
+            max_iter=15, termination="kkt", eps_prim=1e-3, eps_dual=1e-3,
+            schedule="fixed", qp_impl="kernel", polish=True,
+            qp=QPSettings(
+                alpha=1.6, eps_abs=1e-5, eps_rel=1e-5, max_iter=200,
+                check_termination=25, adaptive_rho=True,
+                adaptive_rho_interval=50, schedule="fixed",
+            ),
+        )
+        res = sharded_sqp_solve_batch(
+            shard_batch(problem, mesh), shard_batch(x0, mesh), None, s,
+            mesh, impl="fused",
+        )
+        assert len(res.x.sharding.device_set) == 8
+        x_star = sphere_cap_solution(problem)
+        st = np.asarray(res.info.status)
+        ok = st == SQPStatus.SOLVED
+        assert ok.mean() > 0.9
+        assert np.abs(np.asarray(res.x) - x_star)[ok].max() < 1e-4
+
+    def test_qp_kernel_impl_sharded(self, mesh):
+        qp = random_qp_batch(batch=32, n=6, m=9, seed=4, dtype=jnp.float32)
+        s = QPSettings(
+            alpha=1.6, eps_abs=1e-5, eps_rel=1e-5, max_iter=200,
+            check_termination=25, adaptive_rho=True,
+            adaptive_rho_interval=50, schedule="fixed",
+        )
+        ref = qp_solve_batch(qp, s)
+        res = sharded_qp_solve_batch(shard_batch(qp, mesh), s, mesh, impl="kernel")
+        assert len(res.x.sharding.device_set) == 8
+        ok = (np.asarray(ref.info.status) == 0) & (np.asarray(res.info.status) == 0)
+        np.testing.assert_allclose(
+            np.asarray(res.x)[ok], np.asarray(ref.x)[ok], atol=1e-3
+        )
