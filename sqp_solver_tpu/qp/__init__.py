@@ -7,6 +7,7 @@ from sqp_solver_tpu.qp.classify import (
     constr_type_init,
     rho_vec_from_type,
 )
+from sqp_solver_tpu.qp.scaling import Scaling, ruiz_equilibrate
 from sqp_solver_tpu.qp.types import (
     QPInfo,
     QPResult,
@@ -27,6 +28,8 @@ __all__ = [
     "QPResult",
     "constr_type_init",
     "rho_vec_from_type",
+    "ruiz_equilibrate",
+    "Scaling",
     "INEQUALITY_CONSTRAINT",
     "EQUALITY_CONSTRAINT",
     "LOOSE_BOUNDS",

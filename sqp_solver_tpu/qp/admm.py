@@ -108,6 +108,29 @@ def qp_solve(
     reference's ``warm_start``; see QPState docs).
     """
     settings.validate()
+    if settings.scaling > 0:
+        # Ruiz-equilibrate, solve scaled (recursion with scaling=0), map
+        # back, and re-derive status from TRUE residuals (see qp.scaling)
+        import dataclasses as _dc
+
+        from sqp_solver_tpu.qp.scaling import (
+            rescore,
+            ruiz_equilibrate,
+            scale_state,
+            unscale_result,
+        )
+
+        scaled, s = ruiz_equilibrate(qp, settings.scaling)
+        # polish AFTER unscaling (in original coordinates, where the
+        # active-set thresholds are meaningful), not inside the scaled solve
+        inner = _dc.replace(settings, scaling=0, polish=False)
+        st = None if state is None else scale_state(state, s)
+        res = unscale_result(qp_solve(scaled, inner, st), s)
+        if settings.polish:
+            from sqp_solver_tpu.qp.polish import polish_qp
+
+            res = polish_qp(qp, res, settings)
+        return rescore(qp, res, settings)
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
     dtype = P.dtype
     n, m = qp.n, qp.m

@@ -119,6 +119,13 @@ class QPSettings:
     refine_steps: int = 0
     schedule: str = "early_exit"
     polish: bool = False
+    # Ruiz equilibration sweeps (qp.scaling): 0 = off (reference
+    # semantics — the reference dropped OSQP's scaling entirely).  10 is
+    # OSQP's default and rescues badly-scaled problems (e.g. the huber
+    # family) that stall unscaled, especially in f32.  Solutions and
+    # residuals are reported in ORIGINAL coordinates (rescored after the
+    # scaled solve), so results remain drop-in comparable.
+    scaling: int = 0
 
     def validate(self) -> None:
         if not (self.rho > 0):
@@ -146,6 +153,8 @@ class QPSettings:
             )
         if self.schedule not in ("early_exit", "fixed"):
             raise ValueError(f"schedule must be 'early_exit' or 'fixed', got {self.schedule}")
+        if self.scaling < 0:
+            raise ValueError(f"scaling must be >= 0, got {self.scaling}")
 
 
 @jax.tree_util.register_dataclass
