@@ -194,7 +194,13 @@ def _kkt_matrix(P, A, sigma, rho_vec):
 def _kkt_factor(P, A, sigma, rho_vec):
     K = _kkt_matrix(P, A, sigma, rho_vec)
     L, d = ldlt_factor(K)
-    return {"L": L, "d": d, "K": K}
+    # quasi-definite pivot lower bound: LDL' of [[E, B'],[B, -F]] with
+    # E >= sigma I, F >= diag(1/rho) has |d_i| >= min(sigma, 1/rho_max)
+    # (Vanderbei 1995) — pivots BELOW half that bound mark a breakdown
+    pivot_floor = 0.5 * jnp.minimum(
+        jnp.asarray(sigma, d.dtype), 1.0 / jnp.max(rho_vec)
+    )
+    return {"L": L, "d": d, "K": K, "pivot_floor": pivot_floor}
 
 
 def _kkt_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
@@ -208,15 +214,13 @@ def _kkt_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
 
 
 def _kkt_is_failure(factor):
-    # float-sensible pivot test: a quasi-definite KKT matrix has pivots
-    # bounded away from zero relative to the matrix scale; |d| below
-    # ~1e-12 of the largest pivot (or NaN) marks a breakdown.  (An exact
-    # d == 0.0 comparison essentially never fires in float.)
+    # float-sensible pivot test against the quasi-definite LOWER BOUND
+    # min(sigma, 1/rho_max) recorded at factor time.  (A threshold
+    # relative to the LARGEST pivot is wrong: legitimate KKT factors span
+    # [sigma, growth * rho_max] — e.g. the huber family spans [1e-6, 3e6]
+    # in f32 — and the relative test flags the valid sigma pivots.)
     d = factor["d"]
-    scale = jnp.max(jnp.abs(d))
-    return jnp.any(jnp.isnan(d)) | jnp.any(
-        jnp.abs(d) <= 1e-12 * jnp.maximum(scale, 1.0)
-    )
+    return jnp.any(jnp.isnan(d)) | jnp.any(jnp.abs(d) < factor["pivot_floor"])
 
 
 # ---------------------------------------------------------------------------

@@ -92,12 +92,22 @@ def _vmem_bytes_per_lane(n: int, m: int) -> int:
     return 4 * (5 * n * n + 2 * m * n + 24 * (n + m))
 
 
-def _step_lane_tile(n: int, m: int, vmem_budget: int = _VMEM_CAP) -> int:
-    """Lane tile for the SQP-step kernel: its live set adds the Hessian
-    triple (B_prev, B_new, B_out), the BFGS rank-2 temporaries, and the
-    output pipeline buffers on top of the QP solve's (measured 149.7 MB
-    at n=128, TL=128 — ~18 n^2 words per lane)."""
-    per_lane = 4 * (18 * n * n + 3 * m * n + 32 * (n + m))
+def _step_lane_tile(
+    n: int,
+    m: int,
+    fused_bfgs: bool = True,
+    carries_minv: bool = False,
+    vmem_budget: int = _VMEM_CAP,
+) -> int:
+    """Lane tile for the SQP-step kernel.  With the BFGS fused in, the
+    live set adds the Hessian triple (B_prev, B_new, B_out) and the rank-2
+    temporaries on top of the QP solve's (measured 149.7 MB at n=128,
+    TL=128 — ~18 n^2 words per lane).  Without it (BFGS at the XLA level
+    in transposed layout; see sqp.solver_kernel), ~13 n^2 — which is what
+    lets n=128 keep TL=128: a sub-128 lane tile forces `_chunked_lanes`
+    XLA lane-slicing at ~6 GB/s, a measured 32 ms/sweep floor at B=1024."""
+    words = (18 if fused_bfgs else 13) + (2 if carries_minv else 0)
+    per_lane = 4 * (words * n * n + 3 * m * n + 32 * (n + m))
     tl = 128
     while tl > 8 and per_lane * tl > vmem_budget:
         tl //= 2
@@ -155,17 +165,26 @@ def _t_atb(A1, A2):
 def _chol_blocked(M, cb=_FACTOR_BLOCK):
     """Lane-vectorized lower Cholesky of an (n, n, TL) SPD batch.
 
-    Right-looking with rank-1 updates, processed in Python-unrolled column
-    blocks; after each block the trailing view shrinks statically, so total
-    update work is ~n^3/3 (+O(cb/n)) instead of the n^3 of a fixed-view
-    column loop.  Returns (L, fail) with fail (1, TL): a clamped pivot
-    (indefinite/NaN input) leaves sqrt(1e-30) = 1e-15 on the diagonal;
-    valid data has pivots >= sigma = 1e-6, so 1e-14 separates cleanly.
+    Proper panel algorithm per Python-unrolled block (static shapes —
+    pallas TPU has no dynamic_update_slice lowering):
+
+      1. column-loop factor of the (cb, cb) diagonal block — masked column
+         extraction touches only the small block;
+      2. panel forward-substitution of the (nb-cb, cb) sub-diagonal panel
+         against the diagonal factor;
+      3. ONE rank-cb trailing update of the (nb-cb)^2 remainder, as a fori
+         of rank-1s whose columns are extracted from the narrow panel.
+
+    Total VPU work is the textbook ~n^3/3: the previous single-loop form
+    ran every rank-1 update AND a masked column extraction over the full
+    (nb, nb) trailing view, ~3n^3 — measured 2.4x slower at n=128.
+    Returns (L, fail) with fail (1, TL): a clamped pivot (indefinite/NaN
+    input) leaves sqrt(1e-30) = 1e-15 on the diagonal; valid data has
+    pivots >= sigma = 1e-6, so 1e-14 separates cleanly.
     """
     n, TL = M.shape[0], M.shape[-1]
     dtype = M.dtype
-    panels = []  # column panels, assembled by concatenation (pallas TPU
-    # has no dynamic_update_slice lowering; block offsets are static)
+    panels = []
     T = M
     # fail carried as f32 0/1: vector bools in scf.for/scf.if carries fail
     # Mosaic legalization ("failed to legalize operation 'scf.if'")
@@ -173,37 +192,62 @@ def _chol_blocked(M, cb=_FACTOR_BLOCK):
     for r0 in range(0, n, cb):
         nb = n - r0
         b = min(cb, nb)
-        cols3 = lax.broadcasted_iota(jnp.int32, (nb, nb, 1), 1)
-        rows2 = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
-        pcols = lax.broadcasted_iota(jnp.int32, (nb, b, 1), 1)
+        r = nb - b  # trailing size
+        cols_d = lax.broadcasted_iota(jnp.int32, (b, b, 1), 1)
+        rows_d = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
 
+        # --- 1) diagonal block factor (small column loop) ---------------
         def col_step(j, carry):
-            T, Pn, flag = carry
-            colj = jnp.sum(T * (cols3 == j).astype(dtype), axis=1)  # (nb, TL)
-            # pivot from the extracted column (a (nb, TL) mask-reduce) — not
-            # from the full matrix (a second (nb, nb, TL) pass)
-            dj = jnp.sum(
-                colj * (rows2 == j).astype(dtype), axis=0, keepdims=True
-            )  # (1, TL)
-            flag = jnp.maximum(
-                flag, ((dj <= 0.0) | jnp.isnan(dj)).astype(dtype)
-            )
+            D, Ld, flag = carry
+            colj = jnp.sum(D * (cols_d == j).astype(dtype), axis=1)  # (b, TL)
+            dj = jnp.sum(colj * (rows_d == j).astype(dtype), axis=0, keepdims=True)
+            flag = jnp.maximum(flag, ((dj <= 0.0) | jnp.isnan(dj)).astype(dtype))
             djc = jnp.maximum(dj, 1e-30)
             inv_sq = lax.rsqrt(djc)
-            lcol = jnp.where(rows2 > j, colj * inv_sq, 0.0) + jnp.where(
-                rows2 == j, jnp.sqrt(djc), 0.0
+            lcol = jnp.where(rows_d > j, colj * inv_sq, 0.0) + jnp.where(
+                rows_d == j, jnp.sqrt(djc), 0.0
             )
-            Pn = Pn + lcol[:, None, :] * (pcols == j).astype(dtype)
-            T = T - lcol[:, None, :] * lcol[None, :, :]
-            return T, Pn, flag
+            D = D - lcol[:, None, :] * lcol[None, :, :]
+            Ld = Ld + lcol[:, None, :] * (cols_d == j).astype(dtype)
+            return D, Ld, flag
 
-        T, Pn, fail = lax.fori_loop(
-            0, b, col_step, (T, jnp.zeros((nb, b, TL), dtype), fail)
+        _, Ld, fail = lax.fori_loop(
+            0, b, col_step,
+            (T[:b, :b, :], jnp.zeros((b, b, TL), dtype), fail),
         )
+
+        if r > 0:
+            Pan = T[b:, :b, :]  # (r, b, TL)
+            pcols = lax.broadcasted_iota(jnp.int32, (r, b, 1), 1)
+
+            # --- 2) panel solve Lp = Pan Ld^-T (column loop over b) ------
+            def pan_step(j, Lp):
+                ldrow = jnp.sum(Ld * (rows_d[:, None, :] == j).astype(dtype), axis=0)
+                # (b, TL): row j of Ld; entries k<j multiply prior columns
+                ljj = jnp.sum(
+                    ldrow * (rows_d == j).astype(dtype), axis=0, keepdims=True
+                )
+                prev = jnp.where(rows_d < j, ldrow, 0.0)  # (b, TL)
+                acc = jnp.sum(Lp * prev[None, :, :], axis=1)  # (r, TL)
+                colj = jnp.sum(Pan * (pcols == j).astype(dtype), axis=1)  # (r, TL)
+                newc = (colj - acc) / jnp.maximum(ljj, 1e-30)
+                return Lp + newc[:, None, :] * (pcols == j).astype(dtype)
+
+            Lp = lax.fori_loop(0, b, pan_step, jnp.zeros((r, b, TL), dtype))
+
+            # --- 3) rank-b trailing update (columns from the narrow panel)
+            def upd(k, T22):
+                colk = jnp.sum(Lp * (pcols == k).astype(dtype), axis=1)  # (r, TL)
+                return T22 - colk[:, None, :] * colk[None, :, :]
+
+            T = lax.fori_loop(0, b, upd, T[b:, b:, :])
+            Lcol = jnp.concatenate([Ld, Lp], axis=0)  # (nb, b, TL)
+        else:
+            Lcol = Ld
+            T = T[b:, b:, :]
         if r0 > 0:
-            Pn = jnp.concatenate([jnp.zeros((r0, b, TL), dtype), Pn], axis=0)
-        panels.append(Pn)
-        T = T[b:, b:, :]
+            Lcol = jnp.concatenate([jnp.zeros((r0, b, TL), dtype), Lcol], axis=0)
+        panels.append(Lcol)
     L = panels[0] if len(panels) == 1 else jnp.concatenate(panels, axis=1)
     return L, fail
 
@@ -281,10 +325,13 @@ def _ltl_blocked(Li, cb=_FACTOR_BLOCK):
     for r0 in range(0, n, cb):
         b = min(cb, n - r0)
         V = Li[r0:, :, :]  # (n-r0, n, TL)
-        ciota = lax.broadcasted_iota(jnp.int32, V.shape[:2] + (1,), 1)
+        # extract row-block columns from the NARROW (n-r0, b) slice — a
+        # full-width masked extraction per row costs an extra n^3 total
+        Vblk = Li[r0:, r0 : r0 + b, :]  # (n-r0, b, TL)
+        ciota_b = lax.broadcasted_iota(jnp.int32, Vblk.shape[:2] + (1,), 1)
 
         def row(i, Out):
-            vi = jnp.sum(V * (ciota == (r0 + i)).astype(dtype), axis=1)  # (n-r0, TL)
+            vi = jnp.sum(Vblk * (ciota_b == i).astype(dtype), axis=1)  # (n-r0, TL)
             ci = jnp.sum(vi[:, None, :] * V, axis=0)  # (n, TL)
             return Out + ci[None, :, :] * (
                 lax.broadcasted_iota(jnp.int32, (b, 1, 1), 0) == i
@@ -723,29 +770,36 @@ def _sqp_step_kernel(
         rho_vec0 = _rho_from(rho, loose, equality)
 
         # initial factor (outside the core, so a pivot failure can repair
-        # B before the solve) — skipped when the whole tile is inactive
-        def initial_factor(args):
-            Minv_new, f = _factor_schur(Bn, A, rho_vec0, sigma, eye_n)
-            return Minv_new, f, args[2] + 1.0
+        # B before the solve) — skipped when the whole tile is inactive;
+        # attempt 2 re-factors with B := I on failed lanes (the posdef
+        # fallback).  One fori over attempts keeps a SINGLE _factor_schur
+        # instance in the kernel body — a second inlined instance raised
+        # the Mosaic compile time ~50% at n=128.
+        def attempt(i, carry):
+            Minv, f, nfact, Bc, need = carry
 
-        def skip_factor(args):
-            return args
+            def do(args):
+                Minv_old, f_old, cnt = args
+                Minv_new, fn = _factor_schur(Bc, A, rho_vec0, sigma, eye_n)
+                return Minv_new, fn, cnt + 1.0
 
-        Minv, f, nfact0 = lax.cond(
-            jnp.any(act0 > 0.0),
-            initial_factor,
-            skip_factor,
-            (jnp.zeros((n, n, TL), dtype), zero_row, nfact0),
-        )
-        bad = f * act0  # (1, TL): posdef fallback lanes
-        Bn = jnp.where((bad > 0.0)[:, None, :], eye_n, Bn)
+            Minv, f, nfact = lax.cond(need, do, lambda a: a, (Minv, f, nfact))
+            bad = f * act0  # (1, TL): posdef fallback lanes
+            Bc = jnp.where((bad > 0.0)[:, None, :], eye_n, Bc)
+            need2 = (i < 1) & jnp.any(bad > 0.0)
+            return Minv, f, nfact, Bc, need2
 
-        def refactor(args):
-            Minv_new, f2 = _factor_schur(Bn, A, rho_vec0, sigma, eye_n)
-            return Minv_new, f2, args[2] + 1.0
-
-        Minv, f, nfact0 = lax.cond(
-            jnp.any(bad > 0.0), refactor, lambda a: a, (Minv, f, nfact0)
+        Minv, f, nfact0, Bn, _ = lax.fori_loop(
+            0,
+            2,
+            attempt,
+            (
+                jnp.zeros((n, n, TL), dtype),
+                zero_row,
+                nfact0,
+                Bn,
+                jnp.any(act0 > 0.0),
+            ),
         )
         failv = f * act0
 
@@ -1017,7 +1071,10 @@ def sqp_step_kernel(
     chunks_per_epoch = max(1, -(-min(interval, settings.max_iter) // seg))
     n_epochs = max(1, -(-settings.max_iter // (chunks_per_epoch * seg)))
 
-    lane_tile = _step_lane_tile(n, m)
+    lane_tile = _step_lane_tile(
+        n, m, fused_bfgs=do_bfgs,
+        carries_minv=(minv_in is not None) or want_minv,
+    )
     pad = (-B) % lane_tile
     args = (Bt, Jt, gt, lt, ut, st_, dglt, mskt, xt, zt, yt)
     if minv_in is not None:

@@ -6,22 +6,23 @@ stack (and, through the QP duals, of the SQP's KKT residuals in f32).
 Polish takes the converged iterate, guesses the active set from the sign
 of the duals (the OSQP recipe, with a relative threshold so eps-noise
 duals on inactive rows don't count; EQUALITY rows are always active), and
-re-solves the *equality-constrained* KKT system on that active set:
+re-solves the equality-constrained KKT system on that active set.
 
-    [[P + dI,  Ãᵀ], [Ã, -dI]] [x; nu] = [-q; b̃]
+The KKT solve (:func:`kkt_solve_schur_refined`) is TPU-native by design:
+eliminate the multipliers from the regularized system
 
-where Ã zeroes the inactive rows (their equations reduce to nu_i = 0) and
-d regularizes the factorization.  The d-bias is then removed by iterative
-refinement against the IDEAL (d-free) active-set operator
+    [[P + dI,  Ãᵀ], [Ã, -dI]] [dx; nu] = [r1; r2]      (Ã: inactive rows zeroed)
 
-    P x + Ãᵀnu = -q,   Ã x = b̃ (active rows),   nu = 0 (inactive rows),
-
-which converges to the true active-set solution: the factored matrix is
-only the preconditioner, so the final accuracy is the dtype floor, not
-O(d).  Measured on the badly-scaled huber family in f32: ADMM stalls at
-~1e-2, direct d=1e-6 LDLᵀ is unusable (zero Hessian block => 1e-6 pivots
-against O(1) couplings), this scheme reaches ~2e-7 vs the long-double
-oracle.
+into the SPD n x n Schur matrix M = P + dI + (1/d)ÃᵀÃ — one batched
+matmul (MXU) + one batched Cholesky — then remove the O(d) regularization
+bias with iterative refinement against the IDEAL (d-free) active-set
+operator.  Each sweep contracts the error by ~d, so a handful of sweeps
+reaches the dtype floor.  Measured on the badly-scaled huber family in
+f32: ADMM stalls at ~1e-2; a direct d=1e-6 LDLᵀ is unusable (zero Hessian
+block ⇒ 1e-6 pivots against O(1) couplings); this scheme reaches ~3e-7 vs
+the long-double oracle.  It also removes the need for any (n+m)x(n+m)
+factorization anywhere in the polish path — the previous in-kernel D x D
+LDLᵀ at n=128 (D=257) was a pathological >30-minute Mosaic compile.
 
 The polished candidate is accepted PER PROBLEM only where the KKT error
 improves, judged lexicographically: (stationarity, violation) first — the
@@ -39,93 +40,131 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sqp_solver_tpu.ops.linear_solver import ldlt_factor, ldlt_solve
 from sqp_solver_tpu.qp.classify import RHO_TOL
 from sqp_solver_tpu.qp.types import QPResult, QPSettings, QuadraticProblem
 
-__all__ = ["polish_qp"]
+__all__ = ["polish_qp", "kkt_solve_schur_refined", "guess_active_set"]
 
 
 def _mv(M, v):
     return jnp.einsum("...ij,...j->...i", M, v, precision=lax.Precision.HIGHEST)
 
 
+def _mtv(M, v):
+    return jnp.einsum("...ij,...i->...j", M, v, precision=lax.Precision.HIGHEST)
+
+
 def _linf(v):
     return jnp.max(jnp.abs(v), axis=-1)
 
 
-def polish_qp(
-    qp: QuadraticProblem,
-    result: QPResult,
-    settings: QPSettings = QPSettings(),
-    delta: float | None = None,
-    refine_steps: int = 3,
-) -> QPResult:
-    """Polish a (possibly batched) QP result.  Shape-polymorphic: works on
-    single problems (n,), (m,) and batches (B, n), (B, m).
-
-    ``delta`` defaults per dtype: 1e-6 in f64, 1e-4 in f32 (the larger f32
-    value keeps the factorization stable; the refinement removes the bias
-    either way).
-    """
-    del settings  # polish parameters are its own; settings kept for API symmetry
-    P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
-    dtype = P.dtype
-    if delta is None:
-        delta = 1e-6 if jnp.finfo(dtype).bits >= 64 else 1e-4
-    n = P.shape[-1]
-    m = A.shape[-2]
-    x, y, z = result.x, result.y, result.z
-
-    # --- active set from dual signs (lower if y<0, upper if y>0), with a
-    # relative threshold: ADMM leaves O(eps)-noise duals on inactive rows.
-    # EQUALITY rows (the classifier's criterion, u-l < RHO_TOL) are always
-    # active regardless of the dual: an equality constraint with a small
-    # multiplier is still a constraint — guessing it inactive re-solves a
-    # different problem (catastrophic on equality-heavy QPs like the huber
-    # family). ---
+def guess_active_set(l, u, y):
+    """OSQP-style active-set guess from dual signs, with equality rows
+    (the classifier's criterion, u-l < RHO_TOL) ALWAYS active: an equality
+    constraint with a small multiplier is still a constraint — guessing it
+    inactive re-solves a different problem (catastrophic on equality-heavy
+    QPs like the huber family).  Returns (act, b) with b the target value
+    on active rows (0 on inactive)."""
     eq = (u - l) < RHO_TOL
     ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(y), axis=-1, keepdims=True))
     act_low = (y < -ytol) & ~eq
     act_up = (y > ytol) & ~eq
     act = act_low | act_up | eq
     b = jnp.where(
-        eq,
-        0.5 * (l + u),
-        jnp.where(act_low, l, jnp.where(act_up, u, 0.0)),
+        eq, 0.5 * (l + u), jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
     )
-    b = jnp.where(act, b, 0.0)
+    return act, jnp.where(act, b, 0.0)
 
+
+def kkt_solve_schur_refined(
+    P,
+    A_m,
+    act,
+    r1,
+    r2,
+    x0=None,
+    nu0=None,
+    delta: float = 1e-2,
+    sweeps: int = 6,
+):
+    """Solve the ideal active-set KKT system
+
+        P x + Ãᵀnu = r1,   Ã x = r2 (active rows),   nu = 0 (inactive)
+
+    for a (possibly batched) problem, where ``A_m`` has inactive rows
+    zeroed and ``r2`` is zero on inactive rows.  Returns (x, nu, fail).
+
+    Preconditioner: Cholesky of M = P + delta I + (1/delta) ÃᵀÃ (SPD,
+    batched, MXU-friendly); each refinement sweep solves the
+    delta-regularized system exactly via the Schur form and contracts the
+    remaining error by ~delta.  ``x0``/``nu0`` warm-start the sweeps.
+    """
+    dtype = P.dtype
+    n = P.shape[-1]
     with jax.default_matmul_precision("highest"):
         d_c = jnp.asarray(delta, dtype)
-        A_m = jnp.where(act[..., None], A, 0.0)
-        eye_n = jnp.eye(n, dtype=dtype)
-        eye_m = jnp.eye(m, dtype=dtype)
-        top = jnp.concatenate([P + d_c * eye_n, A_m.mT], axis=-1)
-        bot = jnp.concatenate(
-            [A_m, jnp.zeros_like(A_m[..., :1]) - d_c * eye_m], axis=-1
+        M = (
+            P
+            + d_c * jnp.eye(n, dtype=dtype)
+            + (1.0 / d_c)
+            * jnp.einsum("...mi,...mj->...ij", A_m, A_m, precision=lax.Precision.HIGHEST)
         )
-        K = jnp.concatenate([top, bot], axis=-2)
-        rhs = jnp.concatenate([-q, b], axis=-1)
-        L, dd = ldlt_factor(K)
-        sol = ldlt_solve(L, dd, rhs)
-        # iterative refinement against the IDEAL (delta-free) active-set
-        # operator: the factored K is only the preconditioner, so the
-        # converged solution has no O(delta) bias
-        for _ in range(refine_steps):
-            xc = sol[..., :n]
-            nu = jnp.where(act, sol[..., n:], 0.0)
-            r1 = -q - (_mv(P, xc) + _mv(A_m.mT, nu))
-            r2 = jnp.where(act, b - _mv(A_m, xc), 0.0)
-            sol = sol + ldlt_solve(L, dd, jnp.concatenate([r1, r2], axis=-1))
-        x_pol = sol[..., :n]
-        y_pol = jnp.where(act, sol[..., n:], 0.0)
+        L = jnp.linalg.cholesky(M)
+        fail = jnp.isnan(L[..., -1, -1])
+
+        def solveM(rhs):
+            w = jax.scipy.linalg.solve_triangular(L, rhs[..., None], lower=True)
+            return jax.scipy.linalg.solve_triangular(L, w, lower=True, trans=1)[
+                ..., 0
+            ]
+
+        x = jnp.zeros_like(r1) if x0 is None else x0
+        nu = jnp.zeros_like(r2) if nu0 is None else jnp.where(act, nu0, 0.0)
+        for _ in range(sweeps):
+            res1 = r1 - (_mv(P, x) + _mtv(A_m, nu))
+            res2 = jnp.where(act, r2 - _mv(A_m, x), 0.0)
+            dx = solveM(res1 + (1.0 / d_c) * _mtv(A_m, res2))
+            dnu = jnp.where(act, (_mv(A_m, dx) - res2) / d_c, 0.0)
+            x = x + dx
+            nu = nu + dnu
+    return x, nu, fail
+
+
+def polish_qp(
+    qp: QuadraticProblem,
+    result: QPResult,
+    settings: QPSettings = QPSettings(),
+    delta: float = 1e-2,
+    refine_steps: int = 6,
+) -> QPResult:
+    """Polish a (possibly batched) QP result.  Shape-polymorphic: works on
+    single problems (n,), (m,) and batches (B, n), (B, m)."""
+    del settings  # polish parameters are its own; settings kept for API symmetry
+    P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
+    x, y, z = result.x, result.y, result.z
+
+    act, b = guess_active_set(l, u, y)
+    A_m = jnp.where(act[..., None], A, 0.0)
+
+    x_pol, nu, fail = kkt_solve_schur_refined(
+        P,
+        A_m,
+        act,
+        -q,
+        b,
+        x0=x,
+        nu0=y,
+        delta=delta,
+        sweeps=refine_steps,
+    )
+    y_pol = jnp.where(act, nu, 0.0)
+    with jax.default_matmul_precision("highest"):
         z_pol = jnp.clip(_mv(A, x_pol), l, u)
 
     # --- accept per problem only where the KKT error improves (lexico) ---
     def kkt_err(xx, yy):
         Ax = _mv(A, xx)
-        res_d = _linf(_mv(P, xx) + q + _mv(A.mT, yy))
+        res_d = _linf(_mv(P, xx) + q + _mtv(A, yy))
         viol = jnp.maximum(
             jnp.max(jnp.where(jnp.isfinite(l), l - Ax, 0.0), axis=-1),
             jnp.max(jnp.where(jnp.isfinite(u), Ax - u, 0.0), axis=-1),
@@ -139,12 +178,11 @@ def polish_qp(
         )
         return jnp.maximum(res_d, viol), dsv
 
-    bad_pol = jnp.isnan(x_pol).any(axis=-1)
+    bad_pol = jnp.isnan(x_pol).any(axis=-1) | fail
     main_new, dsv_new = kkt_err(x_pol, y_pol)
     main_old, dsv_old = kkt_err(x, y)
     better = (
-        (main_new < main_old)
-        | ((main_new <= main_old) & (dsv_new < dsv_old))
+        (main_new < main_old) | ((main_new <= main_old) & (dsv_new < dsv_old))
     ) & (~bad_pol)
 
     def sel(a, bb):

@@ -346,33 +346,22 @@ def sqp_solve(
     x_out, lam_out = final.x, final.lam
     if settings.polish:
         # Newton-KKT polish on the active set with the true Lagrangian
-        # Hessian (see sqp/solver_batched.py for rationale + measurements)
-        from sqp_solver_tpu.ops.linear_solver import ldlt_factor, ldlt_solve
+        # Hessian (see sqp/solver_batched.py for rationale + measurements),
+        # via the Schur-preconditioned ideal-refined solve from qp.polish
+        from sqp_solver_tpu.qp.polish import guess_active_set, kkt_solve_schur_refined
 
         _, grad_f = f_lin(x_out)
         c_f, J_f = c_lin(x_out)
-        ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out)))
-        act_low = lam_out < -ytol
-        act_up = lam_out > ytol
-        act = act_low | act_up
-        b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
+        # shifted-bound QP around x_out; equality rows are always active
+        act, b_t = guess_active_set(l - c_f, u - c_f, lam_out)
         H = jax.hessian(lambda xx: f(xx) + jnp.dot(lam_out, c(xx)))(x_out)
         H = jnp.where(jnp.isnan(H).any(), final.B, H)
-        delta = 1e-6
-        e_w = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
-        K = jnp.concatenate(
-            [
-                jnp.concatenate([H + delta * eye, J_f.T], axis=-1),
-                jnp.concatenate([J_f, -jnp.diag(e_w)], axis=-1),
-            ],
-            axis=-2,
+        J_m = jnp.where(act[..., None], J_f, 0.0)
+        dx, nu, _fail_pol = kkt_solve_schur_refined(
+            H, J_m, act, -grad_f, b_t, nu0=lam_out
         )
-        rhs = jnp.concatenate([-grad_f, b_t - c_f])
-        Lk, dk = ldlt_factor(K)
-        sol = ldlt_solve(Lk, dk, rhs)
-        sol = sol + ldlt_solve(Lk, dk, rhs - K @ sol)
-        x_pol = x_out + sol[:n]
-        lam_pol = jnp.where(act, sol[n:], 0.0)
+        x_pol = x_out + dx
+        lam_pol = jnp.where(act, nu, 0.0)
 
         def kkt_err(xx, ll):
             _, g = f_lin(xx)

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sqp_solver_tpu.ops.qp_kernel import sqp_step_kernel
+from sqp_solver_tpu.ops.qp_kernel import _step_lane_tile, sqp_step_kernel
 from sqp_solver_tpu.qp.types import QPState
 from sqp_solver_tpu.sqp.types import (
     NonlinearProblem,
@@ -53,6 +53,37 @@ def _pin_precision(fn):
             return fn(*args, **kwargs)
 
     return wrapped
+
+
+def _bfgs_update_t(Bt, s_bf, y_bf, reset, upd):
+    """Damped BFGS (Procedure 18.2, reference bfgs.hpp:14-41) at the XLA
+    level in the kernel's transposed (n, n, B) layout — pure elementwise
+    ops and sublane reductions, so NO layout transpose is ever needed.
+    Mirrors the in-kernel implementation exactly; used when fusing the
+    BFGS into the kernel would shrink the lane tile below 128 (n >= 64),
+    where `_chunked_lanes` XLA lane-slicing costs more than it saves."""
+    dtype = Bt.dtype
+    n = Bt.shape[0]
+    eps_m = jnp.asarray(jnp.finfo(dtype).eps, dtype)
+    tiny_pos = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    eye_t = jnp.eye(n, dtype=dtype)[:, :, None]
+    s = s_bf.T  # (n, B)
+    yv = y_bf.T
+    Bs = jnp.sum(Bt * s[None, :, :], axis=1)  # (n, B)
+    sBs = jnp.sum(s * Bs, axis=0, keepdims=True)  # (1, B)
+    sy = jnp.sum(s * yv, axis=0, keepdims=True)
+    damped = sy < 0.2 * sBs
+    theta = 0.8 * sBs / jnp.maximum(sBs - sy, tiny_pos)
+    r = jnp.where(damped, theta * yv + (1.0 - theta) * Bs, yv)
+    sr = jnp.where(damped, theta * sy + (1.0 - theta) * sBs, sy)
+    Bupd = (
+        Bt
+        - (Bs[:, None, :] * Bs[None, :, :]) / jnp.maximum(sBs, tiny_pos)
+        + (r[:, None, :] * r[None, :, :]) / jnp.maximum(sr, tiny_pos)
+    )
+    keep = ((sr < eps_m) | (~upd)[None, :])[:, None, :]  # (1, 1, B)
+    Bn = jnp.where(keep, Bt, Bupd)
+    return jnp.where(reset[None, None, :], eye_t, Bn)
 
 
 def _vdot(a, b):
@@ -105,6 +136,13 @@ def sqp_solve_kernel_fused(
 
     if lam0 is None:
         lam0 = jnp.zeros((B, m), dtype)
+
+    # fuse the BFGS into the kernel only when it costs no lanes: at n >= 64
+    # the fused live set halves the lane tile, and `_chunked_lanes` XLA
+    # lane-slicing (~6 GB/s) then floors every sweep at ~32 ms (measured,
+    # B=1024 n=128).  Otherwise BFGS runs at the XLA level in the SAME
+    # transposed layout (no relayout) and the kernel keeps TL=128.
+    fuse_bfgs = _step_lane_tile(n, m, fused_bfgs=True) >= 128
 
     # ---- batched problem callables -----------------------------------------
     params = problem.params
@@ -244,9 +282,13 @@ def sqp_solve_kernel_fused(
         upd = ~tiny_step
 
         soc = settings.second_order_correction
+        if fuse_bfgs:
+            Bt_in = c.Bt
+        else:
+            Bt_in = _bfgs_update_t(c.Bt, c.step_prev, delta_grad_L, reset, upd)
         p, z_qp, lam_qp, Bt_new, stk, minv = kernel_qp(
-            c.Bt, Jt, grad_obj, l - c_val, u - c_val, c.step_prev,
-            delta_grad_L, reset, upd, active, c.qp_state, do_bfgs=True,
+            Bt_in, Jt, grad_obj, l - c_val, u - c_val, c.step_prev,
+            delta_grad_L, reset, upd, active, c.qp_state, do_bfgs=fuse_bfgs,
             want_minv=soc,
         )
         qp_iter = c.qp_iter + jnp.where(active, stk[1].astype(jnp.int32), 0)
@@ -392,9 +434,11 @@ def sqp_solve_kernel_fused(
         # SQP polish: one Newton-KKT step on the guessed active set with
         # the TRUE Lagrangian Hessian (see solver_batched for rationale;
         # measured 6e-4 -> 8e-8 on the benchmark family), solved by the
-        # in-kernel quasi-definite LDL' (the XLA batched LDL' streams
-        # (B, n+m, n+m) through HBM per column: ~300 ms at B=1024, n=128)
-        from sqp_solver_tpu.ops.qp_kernel import kkt_polish_kernel
+        # Schur-preconditioned ideal-refined KKT solve (qp.polish): one
+        # batched (B, n, n) MXU matmul + Cholesky + refinement sweeps.
+        # (The previous in-kernel (n+m)^2 LDL' was a pathological Mosaic
+        # compile at n=128 — D=257 shrinking panels took >30 min.)
+        from sqp_solver_tpu.qp.polish import guess_active_set, kkt_solve_schur_refined
 
         # repeated passes re-guess the active set from the polished
         # multipliers — a mini active-set iteration that rescues
@@ -403,11 +447,9 @@ def sqp_solve_kernel_fused(
         for _pol_pass in range(settings.polish_passes):
             obj_f, grad_f = call(f_lin_b, x_out)
             c_f, Jt_f = call(c_lin_b, x_out)  # (B, m), (m, n, B)
-            ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(lam_out), axis=-1, keepdims=True))
-            act_low = lam_out < -ytol
-            act_up = lam_out > ytol
-            act = act_low | act_up
-            b_t = jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
+            # shifted-bound QP around x_out: active rows enforce
+            # J dx = b - c(x) (linearized activity at the bound)
+            act, b_t = guess_active_set(l - c_f, u - c_f, lam_out)
             if has_params:
                 lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
                 H_t = jax.vmap(
@@ -420,15 +462,14 @@ def sqp_solve_kernel_fused(
                 )(x_out, lam_out)
             H_bad = jnp.isnan(H_t).any(axis=(0, 1))  # (B,)
             H_t = jnp.where(H_bad[None, None, :], final.Bt, H_t)
-            delta = 1e-6
-            e = jnp.where(act, jnp.asarray(delta, dtype), jnp.asarray(1.0 / delta, dtype))
-            rhs = jnp.concatenate([-(grad_f), b_t - c_f], axis=-1)  # (B, n+m)
-            sol_t, fail_pol = kkt_polish_kernel(
-                H_t, Jt_f, e.T, rhs.T, delta=delta, refine=1, interpret=interpret
+            H_b = jnp.moveaxis(H_t, -1, 0)  # (B, n, n)
+            J_b = jnp.moveaxis(Jt_f, -1, 0)  # (B, m, n)
+            J_m = jnp.where(act[..., None], J_b, 0.0)
+            dx, nu, fail_pol = kkt_solve_schur_refined(
+                H_b, J_m, act, -grad_f, b_t, nu0=lam_out
             )
-            sol = sol_t.T
-            x_pol = x_out + sol[..., :n]
-            lam_pol = jnp.where(act, sol[..., n:], 0.0)
+            x_pol = x_out + dx
+            lam_pol = jnp.where(act, nu, 0.0)
 
             def kkt_parts(xx, ll):
                 _, g = call(f_lin_b, xx)

@@ -251,12 +251,34 @@ class TestLinearSolverHardening:
     def test_kkt_pivot_threshold(self):
         from sqp_solver_tpu.ops.linear_solver import _kkt_is_failure
 
-        healthy = {"d": jnp.asarray([2.0, 1.0, -0.5, -3.0])}
+        floor = jnp.asarray(5e-7)  # 0.5 * min(sigma=1e-6, 1/rho_max)
+        healthy = {"d": jnp.asarray([2.0, 1.0, -0.5, -3.0]), "pivot_floor": floor}
         assert not bool(_kkt_is_failure(healthy))
-        tiny_pivot = {"d": jnp.asarray([2.0, 1e-20, -0.5, -3.0])}
+        tiny_pivot = {"d": jnp.asarray([2.0, 1e-20, -0.5, -3.0]), "pivot_floor": floor}
         assert bool(_kkt_is_failure(tiny_pivot))
-        nan_pivot = {"d": jnp.asarray([2.0, jnp.nan, -0.5, -3.0])}
+        nan_pivot = {"d": jnp.asarray([2.0, jnp.nan, -0.5, -3.0]), "pivot_floor": floor}
         assert bool(_kkt_is_failure(nan_pivot))
+        # pivots spanning a huge range are LEGITIMATE for a quasi-definite
+        # KKT (huber spans [1e-6, 3e6] in f32): a sigma-level pivot next to
+        # a large one must NOT be flagged (regression: the old threshold
+        # was relative to the largest pivot and false-failed huber)
+        wide = {"d": jnp.asarray([1e-6, 3e6, -0.5, -3.0]), "pivot_floor": floor}
+        assert not bool(_kkt_is_failure(wide))
+
+    def test_kkt_ldlt_solves_equality_heavy_f32(self):
+        """End-to-end regression for the huber false NUMERICAL_ISSUES."""
+        from sqp_solver_tpu.models.families import huber_qp_batch
+        from sqp_solver_tpu.parallel.batch import qp_solve_batch
+
+        problem, _ = huber_qp_batch(2, dtype=jnp.float32)
+        res = qp_solve_batch(
+            problem,
+            QPSettings(eps_abs=1e-3, eps_rel=1e-3, max_iter=500,
+                       adaptive_rho=True, linear_solver="kkt_ldlt",
+                       scaling=10),
+        )
+        st = np.asarray(res.info.status)
+        assert (st != QPStatus.NUMERICAL_ISSUES).all(), st
 
     def test_kkt_ldlt_nan_reports_numerical_issues(self):
         qp = simple_qp()
