@@ -47,12 +47,33 @@ def sphere_cap_nlp_batch(
         del params
         return jnp.concatenate([jnp.array([x @ x]), x])
 
+    # layout-native linearizations (see NonlinearProblem docs): the kernel
+    # tier consumes J in (m, n, B) — building it directly from (n, B)
+    # vectors skips a ~67 MB minor-axis relayout per outer iteration at
+    # n=128, B=1024.  c = [x'x; x] => J = [2x'; I], H_L = 2 lam_0 I.
+    def constraint_linearized_t(x, params):
+        del params
+        B_, n_ = x.shape
+        cv = jnp.concatenate([jnp.sum(x * x, axis=1, keepdims=True), x], axis=1)
+        eye_t = jnp.broadcast_to(
+            jnp.eye(n_, dtype=x.dtype)[:, :, None], (n_, n_, B_)
+        )
+        Jt = jnp.concatenate([2.0 * x.T[None, :, :], eye_t], axis=0)
+        return cv, Jt
+
+    def lagrangian_hessian_t(x, lam, params):
+        del params
+        B_, n_ = x.shape
+        return jnp.eye(n_, dtype=x.dtype)[:, :, None] * (2.0 * lam[:, 0])[None, None, :]
+
     problem = NonlinearProblem(
         l=jnp.asarray(l, dtype=dtype),
         u=jnp.asarray(u, dtype=dtype),
         params=jnp.asarray(r, dtype=dtype),
         objective=objective,
         constraint=constraint,
+        constraint_linearized_t=constraint_linearized_t,
+        lagrangian_hessian_t=lagrangian_hessian_t,
     )
     x0 = jnp.asarray(
         np.full((batch, n), 0.25) + rng.uniform(0, 0.05, size=(batch, n)), dtype=dtype

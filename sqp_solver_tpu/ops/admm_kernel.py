@@ -50,7 +50,7 @@ def pick_tile(D: int, vmem_budget: int = 12 * 1024 * 1024) -> int:
     so per problem it's roughly 2 buffers * 4 B * 128 lanes * (D rows of W
     + n rows of P + m rows of A + ~24 rows of vectors/outputs) — with
     n + m = D that is ~8 * 128 * (2D + 24) bytes."""
-    per_problem = 16 * 128 * (2 * D + 24)
+    per_problem = 16 * 128 * (3 * D + 24)  # + the A' operand (see _stats)
     return max(8, min(64, vmem_budget // max(per_problem, 1) // 8 * 8))
 
 
@@ -68,12 +68,16 @@ def _iteration(W, qv, scale1, rhoip, rhop, ysel, lp, up, alpha, s, yp, batched):
     return s_new, yp_new
 
 
-def _stats(P, A, q, x, z, y):
+def _stats(P, A, At, q, x, z, y):
     """Residuals + norm caches, per problem: returns (T, 4) =
-    [res_prim, res_dual, max_Ax_z, max_Px_ATy_q]."""
+    [res_prim, res_dual, max_Ax_z, max_Px_ATy_q].  Takes BOTH A (T, m, n)
+    and its transpose At (T, n, m): computing A'y from A in-kernel needs
+    y broadcast across a NEW minor axis (lane->sublane), which Mosaic
+    rejects as an unsupported reshape for general (m, n) — with At the
+    contraction keeps y on the lanes."""
     Ax = jnp.sum(A * x[:, None, :], axis=-1)  # (T, m)
     Px = jnp.sum(P * x[:, None, :], axis=-1)  # (T, n)
-    ATy = jnp.sum(A * y[:, :, None], axis=1)  # (T, n)
+    ATy = jnp.sum(At * y[:, None, :], axis=-1)  # (T, n)
     linf = lambda v: jnp.max(jnp.abs(v), axis=-1)
     res_prim = linf(Ax - z)
     res_dual = linf(Px + q + ATy)
@@ -94,12 +98,13 @@ def admm_chunk_xla(W, P, A, qv, scale1, rhoip, rhop, lp, up, s, yp, *, alpha, se
         return _iteration(W, qv, scale1, rhoip, rhop, ysel, lp, up, alpha, s, yp, True), None
 
     (s, yp), _ = lax.scan(body, (s, yp), None, length=seg, unroll=min(unroll, seg))
-    stats = _stats(P, A, qv[:, :n], s[:, :n], s[:, n:], yp[:, n:])
+    stats = _stats(P, A, A.mT, qv[:, :n], s[:, :n], s[:, n:], yp[:, n:])
     return s, yp, stats
 
 
-def _chunk_kernel(W_ref, P_ref, A_ref, qv_ref, sc_ref, ri_ref, rp_ref, lp_ref,
-                  up_ref, s_ref, yp_ref, so_ref, yo_ref, st_ref, *, alpha, seg, n):
+def _chunk_kernel(W_ref, P_ref, A_ref, At_ref, qv_ref, sc_ref, ri_ref, rp_ref,
+                  lp_ref, up_ref, s_ref, yp_ref, so_ref, yo_ref, st_ref, *,
+                  alpha, seg, n):
     W = W_ref[:]
     qv = qv_ref[:]
     sc = sc_ref[:]
@@ -119,7 +124,7 @@ def _chunk_kernel(W_ref, P_ref, A_ref, qv_ref, sc_ref, ri_ref, rp_ref, lp_ref,
     so_ref[:] = s
     yo_ref[:] = yp
     st_ref[:] = _stats(
-        P_ref[:], A_ref[:], qv[:, :n], s[:, :n], s[:, n:], yp[:, n:]
+        P_ref[:], A_ref[:], At_ref[:], qv[:, :n], s[:, :n], s[:, n:], yp[:, n:]
     )
 
 
@@ -150,6 +155,7 @@ def admm_chunk_pallas(
             tile_spec(D, D),  # W
             tile_spec(n, n),  # P
             tile_spec(m, n),  # A
+            tile_spec(n, m),  # A' (see _stats)
         ]
         + [tile_spec(D)] * 8,
         out_specs=(tile_spec(D), tile_spec(D), tile_spec(4)),
@@ -164,7 +170,7 @@ def admm_chunk_pallas(
             bytes_accessed=B * D * D * 4,
             transcendentals=0,
         ),
-    )(W, P, A, qv, scale1, rhoip, rhop, lp, up, s, yp)
+    )(W, P, A, A.mT, qv, scale1, rhoip, rhop, lp, up, s, yp)
     return s_out, yp_out, stats
 
 

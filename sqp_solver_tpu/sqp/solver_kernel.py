@@ -172,13 +172,21 @@ def sqp_solve_kernel_fused(
     # layout with the batch axis minor-most — no XLA relayout at the
     # custom-call boundary
     jac = jax.jacfwd if settings.jacobian_mode == "fwd" else jax.jacrev
-    if cl_raw is not None:
-        c_lin_raw = cl_raw
-    elif has_params:
-        c_lin_raw = lambda x, p: (c_raw(x, p), jac(c_raw)(x, p))
+    cl_t = problem.constraint_linearized_t
+    if cl_t is not None:
+        # layout-native hook: builds J directly in (m, n, B) — skips the
+        # vmap(out_axes=-1) minor-axis relayout (see NonlinearProblem docs)
+        c_lin_b = (
+            (lambda x, p: cl_t(x, p)) if has_params else (lambda x: cl_t(x, None))
+        )
     else:
-        c_lin_raw = lambda x: (c_raw(x), jac(c_raw)(x))
-    c_lin_b = jax.vmap(c_lin_raw, in_axes=in_axes, out_axes=(0, -1))
+        if cl_raw is not None:
+            c_lin_raw = cl_raw
+        elif has_params:
+            c_lin_raw = lambda x, p: (c_raw(x, p), jac(c_raw)(x, p))
+        else:
+            c_lin_raw = lambda x: (c_raw(x), jac(c_raw)(x))
+        c_lin_b = jax.vmap(c_lin_raw, in_axes=in_axes, out_axes=(0, -1))
 
     def constraint_norm(cv):
         return (
@@ -450,7 +458,10 @@ def sqp_solve_kernel_fused(
             # shifted-bound QP around x_out: active rows enforce
             # J dx = b - c(x) (linearized activity at the bound)
             act, b_t = guess_active_set(l - c_f, u - c_f, lam_out)
-            if has_params:
+            if problem.lagrangian_hessian_t is not None:
+                # layout-native hook (see NonlinearProblem docs)
+                H_t = problem.lagrangian_hessian_t(x_out, lam_out, params)
+            elif has_params:
                 lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
                 H_t = jax.vmap(
                     jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0), out_axes=-1

@@ -57,6 +57,20 @@ class NonlinearProblem:
     ``objective_linearized`` / ``constraint_linearized`` optionally override
     autodiff with closed forms: ``objective_linearized(x[, params]) ->
     (obj, grad)``, ``constraint_linearized(x[, params]) -> (c, J)``.
+    (The reference's ``NonLinearProblem`` virtuals, sqp.hpp:71-75, ARE
+    hand-coded linearizations — autodiff was test-side only there.)
+
+    **Layout-native hooks (TPU).**  The kernel tier consumes the Jacobian
+    in transposed layout (m, n, B) — problems on the minor axis.  A
+    Jacobian produced batch-major (vmap's natural output) must then be
+    relaid out, and XLA's minor-axis relayout runs at a measured ~2-6
+    GB/s — at n=128, B=1024 that is ~10-30 ms per outer iteration, more
+    than the whole QP solve.  ``constraint_linearized_t(x, params) ->
+    (c (B, m), J_t (m, n, B))`` and ``lagrangian_hessian_t(x, lam,
+    params) -> (n, n, B)`` are BATCH-level callables that build those
+    arrays directly in kernel layout (broadcasts of (n, B) vectors are
+    cheap; only (B, n) -> (n, B) vector transposes are ever needed).
+    Optional: autodiff + relayout remains the default.
     """
 
     l: jax.Array
@@ -68,6 +82,13 @@ class NonlinearProblem:
         default=None, metadata=dict(static=True)
     )
     constraint_linearized: Optional[Callable] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    # batch-level transposed-layout hooks (kernel tier; see class docs)
+    constraint_linearized_t: Optional[Callable] = dataclasses.field(
+        default=None, metadata=dict(static=True)
+    )
+    lagrangian_hessian_t: Optional[Callable] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
 

@@ -107,3 +107,41 @@ class TestFusedSQP:
             np.testing.assert_allclose(
                 np.asarray(res.x), np.tile([1.0, 1.0], (2, 1)), atol=1e-2
             )
+
+
+class TestLayoutNativeHooks:
+    def test_hooks_match_autodiff(self):
+        """constraint_linearized_t / lagrangian_hessian_t (the kernel
+        tier's layout-native hooks) must agree with the autodiff default
+        and leave the solution unchanged."""
+        import dataclasses
+
+        from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+        from sqp_solver_tpu.sqp.solver_kernel import sqp_solve_kernel_fused
+
+        problem, x0 = sphere_cap_nlp_batch(12, 8, seed=4, dtype=jnp.float32)
+        assert problem.constraint_linearized_t is not None
+        # hook vs autodiff on raw arrays
+        cv, Jt = problem.constraint_linearized_t(x0, problem.params)
+        J_ad = jax.vmap(jax.jacfwd(lambda x: problem.constraint(x, None)))(x0)
+        np.testing.assert_allclose(
+            np.asarray(Jt), np.asarray(jnp.moveaxis(J_ad, 0, -1)), atol=1e-6
+        )
+        cv_ad = jax.vmap(lambda x: problem.constraint(x, None))(x0)
+        np.testing.assert_allclose(np.asarray(cv), np.asarray(cv_ad), atol=1e-6)
+
+        settings = SQPSettings(
+            max_iter=12, termination="kkt", eps_prim=1e-3, eps_dual=1e-3,
+            schedule="fixed", qp_impl="kernel", polish=True,
+        )
+        with_hooks = sqp_solve_kernel_fused(problem, x0, None, settings)
+        bare = dataclasses.replace(
+            problem, constraint_linearized_t=None, lagrangian_hessian_t=None
+        )
+        without = sqp_solve_kernel_fused(bare, x0, None, settings)
+        np.testing.assert_allclose(
+            np.asarray(with_hooks.x), np.asarray(without.x), atol=5e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(with_hooks.info.status), np.asarray(without.info.status)
+        )
