@@ -129,8 +129,12 @@ def main():
     # ---- headline: batched SQP, n=32, B=4096, f32 --------------------------
     B, N = 4096, 32
     build = make_problem_generator(B, N, jnp.float32)
+    # budgets: outer p99 on this family is <= 8 (KKT-terminated; polish
+    # rescues stragglers); warm-started inner QPs converge in tens of
+    # iterations -> check every 10 (the reference's own inner default,
+    # src/sqp.cpp:17) with a 50-iteration cap
     settings = SQPSettings(
-        max_iter=12,
+        max_iter=10,
         eps_prim=2e-3,
         eps_dual=2e-3,
         termination="kkt",
@@ -142,8 +146,8 @@ def main():
             alpha=1.6,
             eps_abs=1e-4,
             eps_rel=1e-4,
-            max_iter=100,
-            check_termination=25,
+            max_iter=50,
+            check_termination=10,
             warm_start=True,
             adaptive_rho=True,
             adaptive_rho_interval=50,
@@ -246,6 +250,49 @@ def main():
         f"VPU ceiling — the n=128 ceiling at these iteration counts is "
         f"~{VPU_CEILING_FLOPS/flops128:.0f} solves/s/TFLOP-budget; the "
         f"factorization (n^3) dominates and is VPU-bound per problem"
+    )
+
+    # ---- supplementary: large-n single NLP (BASELINE configs[4], n~4096) ----
+    # blocked MXU Cholesky backend (SURVEY C6 north-star kernel): round-1
+    # baseline was 1.8 s/solve via schur_cholesky_tri
+    import dataclasses as _dc
+
+    from sqp_solver_tpu.models.benchmark import (
+        sphere_cap_nlp_batch,
+        sphere_cap_solution,
+    )
+    from sqp_solver_tpu.sqp import sqp_solve
+
+    NL = 4096
+    prob_l_b, x0_l_b = sphere_cap_nlp_batch(1, NL, seed=0, dtype=jnp.float32)
+    prob_l = _dc.replace(
+        prob_l_b, l=prob_l_b.l[0], u=prob_l_b.u[0], params=prob_l_b.params[0],
+        constraint_linearized_t=None, lagrangian_hessian_t=None,
+    )
+    x0_l = x0_l_b[0]
+    settings_l = SQPSettings(
+        max_iter=10, eps_prim=1e-3, eps_dual=1e-3, termination="kkt",
+        schedule="fixed", line_search_max_iter=8, polish=True,
+        qp=QPSettings(alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=50,
+                      check_termination=10, adaptive_rho=True,
+                      adaptive_rho_interval=50, schedule="fixed",
+                      linear_solver="schur_cholesky_blocked", refine_steps=1),
+    )
+    solve_l = jax.jit(lambda p, x: sqp_solve(p, x, None, settings_l))
+    _ = np.asarray(solve_l(prob_l, x0_l).x)
+    tl = []
+    for _rep in (1, 2):
+        t0 = time.perf_counter()
+        rl = solve_l(prob_l, x0_l)
+        _ = np.asarray(rl.x)
+        tl.append(time.perf_counter() - t0)
+    err_l = float(
+        np.max(np.abs(np.asarray(rl.x, np.float64) - sphere_cap_solution(prob_l_b)[0]))
+    )
+    log(
+        f"large-n NLP: n={NL} time={min(tl)*1e3:.0f}ms status={int(rl.info.status)} "
+        f"err={err_l:.2e} (round-1: 1800ms via schur_cholesky_tri; blocked "
+        f"MXU Cholesky + refinement)"
     )
 
     # ---- supplementary: structured (block-tridiagonal) MPC vs dense ---------

@@ -106,7 +106,7 @@ def _step_lane_tile(
     in transposed layout; see sqp.solver_kernel), ~13 n^2 — which is what
     lets n=128 keep TL=128: a sub-128 lane tile forces `_chunked_lanes`
     XLA lane-slicing at ~6 GB/s, a measured 32 ms/sweep floor at B=1024."""
-    words = (18 if fused_bfgs else 13) + (2 if carries_minv else 0)
+    words = (18 if fused_bfgs else 12) + (2 if carries_minv else 0)
     per_lane = 4 * (words * n * n + 3 * m * n + 32 * (n + m))
     tl = 128
     while tl > 8 and per_lane * tl > vmem_budget:
