@@ -56,6 +56,11 @@ def qp_solve_batch(
 
             res = polish_qp(qp, res, settings)
         return rescore(qp, res, settings)
+    if settings.acceleration != "none" and impl in ("fused", "kernel"):
+        raise ValueError(
+            "acceleration='anderson' is supported on the per-problem and "
+            "vmap tiers only (use impl='vmap')"
+        )
     if impl == "fused":
         from sqp_solver_tpu.qp.admm_batched import qp_solve_fused
 

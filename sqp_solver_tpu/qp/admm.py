@@ -90,6 +90,7 @@ class _Carry(NamedTuple):
     max_Px_ATy_q: jax.Array
     rho_estimate: jax.Array
     rho_updates: jax.Array  # int32
+    aa: object  # Anderson-acceleration state dict, or None (static shape)
 
 
 @_pin_precision
@@ -191,11 +192,87 @@ def qp_solve(
         epoch_end = (c.iter % interval) == 0
         return (~c.done) & (~c.failed) & (c.iter < settings.max_iter) & (~epoch_end)
 
+    use_aa = settings.acceleration == "anderson"
+    m_aa = settings.anderson_memory
+
+    def _combined_res(rp, rd, mz, mq):
+        return rp / (mz + tiny) + rd / (mq + tiny)
+
+    def _anderson_step(c, x, z, y):
+        """Safeguarded type-II Anderson acceleration of the chunk map.
+
+        The `seg`-iteration ADMM chunk T is a fixed-point map for the
+        iterate u = (x, z, y); AA extrapolates through the last
+        ``anderson_memory`` chunk outputs (difference-based buffers, so
+        bookkeeping stays consistent whether the mixed or the plain point
+        was taken).  SAFEGUARD: the extrapolated candidate is accepted
+        only if its TRUE combined residual beats the plain chunk output
+        (and z is re-projected onto [l, u] to keep the box invariant), so
+        the iteration can never be made worse — the standard globalization
+        for AA-accelerated ADMM (see PAPERS.md: GMRES-accelerated ADMM;
+        AA-II is its nonlinear generalization).  Buffers reset on rho
+        re-factorization (the map changes).
+        """
+        aa = c.aa
+        u_in = jnp.concatenate([c.x, c.z, c.y])
+        u_T = jnp.concatenate([x, z, y])
+        f = u_T - u_in
+        have_prev = aa["prev_ok"]
+        dU = jnp.where(
+            have_prev,
+            jnp.roll(aa["dU"], -1, axis=0).at[-1].set(u_T - aa["uT_prev"]),
+            aa["dU"],
+        )
+        dF = jnp.where(
+            have_prev,
+            jnp.roll(aa["dF"], -1, axis=0).at[-1].set(f - aa["f_prev"]),
+            aa["dF"],
+        )
+        pairs = jnp.minimum(aa["pairs"] + have_prev.astype(jnp.int32), m_aa)
+        valid = jnp.arange(m_aa) >= (m_aa - pairs)  # newest pairs at the end
+        dFm = jnp.where(valid[:, None], dF, 0.0)
+        dUm = jnp.where(valid[:, None], dU, 0.0)
+        G = dFm @ dFm.T
+        # Levenberg regularization + identity on unused rows (their rhs is
+        # zero, so their gamma is exactly zero)
+        reg = 1e-8 * (jnp.trace(G) + 1.0)
+        G = G + (reg + jnp.where(valid, 0.0, 1.0)) * jnp.eye(m_aa, dtype=dtype)
+        gamma = jnp.linalg.solve(G, dFm @ f)
+        u_aa = u_T - dUm.T @ gamma
+        x_a = u_aa[:n]
+        z_a = jnp.clip(u_aa[n : n + m], l, u)
+        y_a = u_aa[n + m :]
+
+        rp_p, rd_p, mz_p, mq_p = update_state(x, z, y)
+        rp_a, rd_a, mz_a, mq_a = update_state(x_a, z_a, y_a)
+        comb_a = _combined_res(rp_a, rd_a, mz_a, mq_a)
+        accept = (
+            (pairs > 0)
+            & jnp.isfinite(comb_a)
+            & (comb_a < _combined_res(rp_p, rd_p, mz_p, mq_p))
+        )
+        sel = lambda a, p: jnp.where(accept, a, p)
+        stats = (
+            sel(rp_a, rp_p), sel(rd_a, rd_p), sel(mz_a, mz_p), sel(mq_a, mq_p)
+        )
+        aa_new = dict(
+            dU=dU, dF=dF, uT_prev=u_T, f_prev=f,
+            prev_ok=jnp.ones((), jnp.bool_), pairs=pairs,
+        )
+        return sel(x_a, x), sel(z_a, z), sel(y_a, y), stats, aa_new
+
     def inner_body(c: _Carry):
         x, z, y = admm_chunk(c.factor, c.rho_vec, c.x, c.z, c.y)
+        stats_pre = None
+        if use_aa:
+            x, z, y, stats_pre, aa_new = _anderson_step(c, x, z, y)
+            c = c._replace(aa=aa_new)
         it = c.iter + seg
         if check > 0:
-            res_prim, res_dual, max_Ax_z, max_Px_ATy_q = update_state(x, z, y)
+            if stats_pre is not None:
+                res_prim, res_dual, max_Ax_z, max_Px_ATy_q = stats_pre
+            else:
+                res_prim, res_dual, max_Ax_z, max_Px_ATy_q = update_state(x, z, y)
             done = (res_prim <= eps_abs + eps_rel * max_Ax_z) & (
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )
@@ -261,6 +338,16 @@ def qp_solve(
                 rho_estimate=new_rho,
                 rho_updates=c.rho_updates + do_update.astype(jnp.int32),
             )
+            if use_aa:
+                # the chunk map changes with rho: stale AA pairs would
+                # extrapolate through a different fixed point
+                c = c._replace(
+                    aa=dict(
+                        c.aa,
+                        prev_ok=c.aa["prev_ok"] & ~do_update,
+                        pairs=jnp.where(do_update, 0, c.aa["pairs"]),
+                    )
+                )
         return c
 
     # Setup factorization (reference src/qp.cpp:37-43) — the one-time
@@ -286,6 +373,18 @@ def qp_solve(
         # the reference counts the setup rho_vec_update too
         # (src/qp.cpp:34 -> info.rho_updates++), so it reports >= 1
         rho_updates=jnp.ones((), jnp.int32),
+        aa=(
+            dict(
+                dU=jnp.zeros((m_aa, n + 2 * m), dtype),
+                dF=jnp.zeros((m_aa, n + 2 * m), dtype),
+                uT_prev=jnp.zeros((n + 2 * m,), dtype),
+                f_prev=jnp.zeros((n + 2 * m,), dtype),
+                prev_ok=jnp.zeros((), jnp.bool_),
+                pairs=jnp.zeros((), jnp.int32),
+            )
+            if use_aa
+            else None
+        ),
     )
 
     final = lax.while_loop(outer_cond, outer_body, init)

@@ -126,6 +126,15 @@ class QPSettings:
     # residuals are reported in ORIGINAL coordinates (rescored after the
     # scaled solve), so results remain drop-in comparable.
     scaling: int = 0
+    # Safeguarded type-II Anderson acceleration of the ADMM fixed point
+    # at chunk (check_termination) granularity: "none" (reference
+    # semantics) or "anderson".  The extrapolated candidate is accepted
+    # per chunk only if its TRUE residual beats the plain iterate, so it
+    # can never slow convergence by more than the safeguard's bookkeeping
+    # (~2 extra residual evaluations per chunk).  Per-problem and vmap
+    # tiers only.
+    acceleration: str = "none"
+    anderson_memory: int = 4
 
     def validate(self) -> None:
         if not (self.rho > 0):
@@ -155,6 +164,14 @@ class QPSettings:
             raise ValueError(f"schedule must be 'early_exit' or 'fixed', got {self.schedule}")
         if self.scaling < 0:
             raise ValueError(f"scaling must be >= 0, got {self.scaling}")
+        if self.acceleration not in ("none", "anderson"):
+            raise ValueError(
+                f"acceleration must be 'none' or 'anderson', got {self.acceleration}"
+            )
+        if self.anderson_memory <= 0:
+            raise ValueError(
+                f"anderson_memory must be > 0, got {self.anderson_memory}"
+            )
 
 
 @jax.tree_util.register_dataclass

@@ -1,0 +1,81 @@
+"""Safeguarded Anderson acceleration (QPSettings.acceleration="anderson").
+
+Type-II AA on the ADMM chunk map with true-residual safeguarding: must
+cut iteration counts substantially at fixed rho (the literature's 2-5x —
+PAPERS.md), never change solutions or statuses, and compose with
+adaptive rho (buffers reset on re-factorization)."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sqp_solver_tpu.models.families import huber_qp_batch
+from sqp_solver_tpu.models.mpc import random_qp_batch
+from sqp_solver_tpu.parallel.batch import qp_solve_batch
+from sqp_solver_tpu.qp import QPSettings, QPStatus
+
+BASE = QPSettings(eps_abs=1e-9, eps_rel=1e-9, max_iter=4000, check_termination=25)
+
+
+class TestAnderson:
+    def test_iteration_reduction_fixed_rho(self):
+        qp = random_qp_batch(batch=8, n=12, m=18, seed=3, dtype=jnp.float64)
+        plain = qp_solve_batch(qp, BASE)
+        acc = qp_solve_batch(
+            qp, dataclasses.replace(BASE, acceleration="anderson")
+        )
+        i0 = np.asarray(plain.info.iter).astype(float)
+        i1 = np.asarray(acc.info.iter).astype(float)
+        assert i1.mean() < 0.5 * i0.mean(), (i0.mean(), i1.mean())
+        np.testing.assert_allclose(
+            np.asarray(acc.x), np.asarray(plain.x), atol=1e-6
+        )
+        assert (np.asarray(acc.info.status) == QPStatus.SOLVED).all()
+
+    def test_composes_with_adaptive_rho(self):
+        problem, _ = huber_qp_batch(6, dtype=jnp.float64)
+        s0 = dataclasses.replace(BASE, adaptive_rho=True)
+        s1 = dataclasses.replace(s0, acceleration="anderson")
+        plain = qp_solve_batch(problem, s0)
+        acc = qp_solve_batch(problem, s1)
+        assert (
+            np.asarray(acc.info.status) == np.asarray(plain.info.status)
+        ).all()
+        # safeguarded: never slower in iterations than plain + one chunk
+        assert (
+            np.asarray(acc.info.iter) <= np.asarray(plain.info.iter) + 25
+        ).all()
+        np.testing.assert_allclose(
+            np.asarray(acc.x), np.asarray(plain.x), atol=1e-6
+        )
+
+    def test_f32_safeguard_never_degrades(self):
+        problem, _ = huber_qp_batch(4, dtype=jnp.float32)
+        s = QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=1000,
+                       adaptive_rho=True, scaling=10)
+        plain = qp_solve_batch(problem, s)
+        acc = qp_solve_batch(
+            problem, dataclasses.replace(s, acceleration="anderson")
+        )
+        # residuals of the accelerated run are no worse (safeguard accepts
+        # the extrapolation only when the true residual improves)
+        assert (
+            np.asarray(acc.info.res_prim)
+            <= np.asarray(plain.info.res_prim) * 3 + 1e-6
+        ).all()
+        assert not np.isnan(np.asarray(acc.x)).any()
+
+    def test_validation_and_tier_guard(self):
+        with pytest.raises(ValueError):
+            QPSettings(acceleration="nope").validate()
+        with pytest.raises(ValueError):
+            QPSettings(anderson_memory=0).validate()
+        qp = random_qp_batch(batch=4, n=6, m=9, seed=0, dtype=jnp.float64)
+        with pytest.raises(ValueError):
+            qp_solve_batch(
+                qp,
+                QPSettings(acceleration="anderson"),
+                impl="fused",
+            )
