@@ -196,8 +196,12 @@ def _kkt_factor(P, A, sigma, rho_vec):
     L, d = ldlt_factor(K)
     # quasi-definite pivot lower bound: LDL' of [[E, B'],[B, -F]] with
     # E >= sigma I, F >= diag(1/rho) has |d_i| >= min(sigma, 1/rho_max)
-    # (Vanderbei 1995) — pivots BELOW half that bound mark a breakdown
-    pivot_floor = 0.5 * jnp.minimum(
+    # (Vanderbei 1995).  The exact-arithmetic bound is loosened 20x:
+    # f32 roundoff on sigma-level pivots (cancellation ~ n*eps*|row|)
+    # can legitimately land below the bound while the factorization —
+    # with iterative refinement — is still serviceable; only order-of-
+    # magnitude collapses (or NaN) mark a breakdown
+    pivot_floor = 0.05 * jnp.minimum(
         jnp.asarray(sigma, d.dtype), 1.0 / jnp.max(rho_vec)
     )
     return {"L": L, "d": d, "K": K, "pivot_floor": pivot_floor}

@@ -70,7 +70,7 @@ from sqp_solver_tpu.qp.types import (
     QuadraticProblem,
 )
 
-__all__ = ["qp_solve_kernel", "sqp_step_kernel", "kkt_polish_kernel", "pick_lane_tile"]
+__all__ = ["qp_solve_kernel", "sqp_step_kernel", "pick_lane_tile"]
 
 # column/row block for the shrinking factorization loops: large enough to
 # amortize the per-block slice bookkeeping, small enough that the trailing
@@ -342,125 +342,6 @@ def _ltl_blocked(Li, cb=_FACTOR_BLOCK):
     return (
         out_blocks[0] if len(out_blocks) == 1 else jnp.concatenate(out_blocks, axis=0)
     )
-
-
-def _ldlt_blocked_t(K, cb=_FACTOR_BLOCK):
-    """Lane-vectorized pivot-free LDL' of a quasi-definite (D, D, TL)
-    batch (transposed layout).  Same blocked shrinking structure as
-    :func:`_chol_blocked`; pivots may be negative (quasi-definite KKT).
-    Returns (L strictly-lower with unit diagonal implicit, d (D, TL),
-    fail (1, TL) f32)."""
-    D, TL = K.shape[0], K.shape[-1]
-    dtype = K.dtype
-    panels = []
-    dpanels = []
-    T = K
-    fail = jnp.zeros((1, TL), dtype)
-    for r0 in range(0, D, cb):
-        nb = D - r0
-        b = min(cb, nb)
-        cols3 = lax.broadcasted_iota(jnp.int32, (nb, nb, 1), 1)
-        rows2 = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
-        pcols = lax.broadcasted_iota(jnp.int32, (nb, b, 1), 1)
-        diota = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
-
-        def col_step(j, carry):
-            T, Pn, dpan, flag = carry
-            colj = jnp.sum(T * (cols3 == j).astype(dtype), axis=1)  # (nb, TL)
-            dj = jnp.sum(colj * (rows2 == j).astype(dtype), axis=0, keepdims=True)
-            flag = jnp.maximum(
-                flag,
-                ((jnp.abs(dj) <= 1e-30) | jnp.isnan(dj)).astype(dtype),
-            )
-            djs = jnp.where(jnp.abs(dj) > 1e-30, dj, 1e-30)
-            lcol = jnp.where(rows2 > j, colj / djs, 0.0)  # (nb, TL)
-            Pn = Pn + lcol[:, None, :] * (pcols == j).astype(dtype)
-            dpan = dpan + dj * (diota == j).astype(dtype)
-            T = T - djs * (lcol[:, None, :] * lcol[None, :, :])
-            return T, Pn, dpan, flag
-
-        T, Pn, dpan, fail = lax.fori_loop(
-            0, b, col_step,
-            (T, jnp.zeros((nb, b, TL), dtype), jnp.zeros((b, TL), dtype), fail),
-        )
-        if r0 > 0:
-            Pn = jnp.concatenate([jnp.zeros((r0, b, TL), dtype), Pn], axis=0)
-        panels.append(Pn)
-        dpanels.append(dpan)
-        T = T[b:, b:, :]
-    L = panels[0] if len(panels) == 1 else jnp.concatenate(panels, axis=1)
-    d = dpanels[0] if len(dpanels) == 1 else jnp.concatenate(dpanels, axis=0)
-    return L, d, fail
-
-
-def _ldlt_solve_t(L, d, rhs, cb=_FACTOR_BLOCK):
-    """Solve (I+L) diag(d) (I+L)' x = rhs for one transposed-layout rhs
-    (D, TL).  Blocked substitutions: the cross-block contraction is a
-    single fused pass per block (no row loop), the intra-block part is a
-    short masked fori."""
-    D, TL = rhs.shape[0], rhs.shape[-1]
-    dtype = rhs.dtype
-
-    # forward: (I + L) w = rhs
-    blocks = []
-    for r0 in range(0, D, cb):
-        b = min(cb, D - r0)
-        rhs_blk = rhs[r0 : r0 + b]
-        if r0 > 0:
-            Wprev = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
-            c = jnp.sum(L[r0 : r0 + b, :r0, :] * Wprev[None, :, :], axis=1)
-        else:
-            c = jnp.zeros((b, TL), dtype)
-        Lblk = L[r0 : r0 + b, r0 : r0 + b, :]
-        briota = lax.broadcasted_iota(jnp.int32, (b, b, 1), 0)
-        kiota = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
-
-        def fwd_step(i, Wb):
-            lrow = jnp.sum(Lblk * (briota == i).astype(dtype), axis=0)  # (b, TL)
-            lrow = jnp.where(kiota < i, lrow, 0.0)
-            acc = jnp.sum(lrow * Wb, axis=0, keepdims=True)  # (1, TL)
-            ci = jnp.sum(c * (kiota == i).astype(dtype), axis=0, keepdims=True)
-            ri = jnp.sum(rhs_blk * (kiota == i).astype(dtype), axis=0, keepdims=True)
-            wi = ri - ci - acc
-            return Wb + wi * (kiota == i).astype(dtype)
-
-        Wb = lax.fori_loop(0, b, fwd_step, jnp.zeros((b, TL), dtype))
-        blocks.append(Wb)
-    w = blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=0)
-
-    w = w / jnp.where(jnp.abs(d) > 1e-30, d, 1e-30)
-
-    # backward: (I + L)' x = w
-    nblocks = -(-D // cb)
-    xblocks = [None] * nblocks
-    for bi in reversed(range(nblocks)):
-        r0 = bi * cb
-        b = min(cb, D - r0)
-        r1 = r0 + b
-        w_blk = w[r0:r1]
-        if r1 < D:
-            suf = xblocks[bi + 1 :]
-            Xsuf = suf[0] if len(suf) == 1 else jnp.concatenate(suf, axis=0)
-            c = jnp.sum(L[r1:, r0:r1, :] * Xsuf[:, None, :], axis=0)  # (b, TL)
-        else:
-            c = jnp.zeros((b, TL), dtype)
-        Lblk = L[r0:r1, r0:r1, :]
-        bciota = lax.broadcasted_iota(jnp.int32, (b, b, 1), 1)
-        kiota = lax.broadcasted_iota(jnp.int32, (b, 1), 0)
-
-        def bwd_step(ii, Xb):
-            i = b - 1 - ii
-            lcol = jnp.sum(Lblk * (bciota == i).astype(dtype), axis=1)  # (b, TL)
-            lcol = jnp.where(kiota > i, lcol, 0.0)
-            acc = jnp.sum(lcol * Xb, axis=0, keepdims=True)
-            wi = jnp.sum(w_blk * (kiota == i).astype(dtype), axis=0, keepdims=True)
-            ci = jnp.sum(c * (kiota == i).astype(dtype), axis=0, keepdims=True)
-            xi = wi - ci - acc
-            return Xb + xi * (kiota == i).astype(dtype)
-
-        Xb = lax.fori_loop(0, b, bwd_step, jnp.zeros((b, TL), dtype))
-        xblocks[bi] = Xb
-    return jnp.concatenate(xblocks, axis=0) if nblocks > 1 else xblocks[0]
 
 
 def _factor_schur(P, A, rho_vec, sigma, eye_n):
@@ -824,153 +705,6 @@ def _sqp_step_kernel(
     )
     if out_minv:
         mo_ref[:] = ec[14]
-
-
-def _kkt_polish_kernel(H_ref, J_ref, e_ref, rhs_ref, sol_ref, st_ref,
-                       *, n, m, delta, refine):
-    """Regularized Newton-KKT polish solve for a tile of problems:
-
-        [[H + delta I,  J'     ],   [dx]   [rhs_x]
-         [J,            -diag(e)]]  [nu] = [rhs_c]
-
-    via in-kernel quasi-definite LDL' (pivot-free; the +/- regularization
-    makes the matrix strictly quasi-definite) + `refine` rounds of
-    iterative refinement.  The XLA-level equivalent (ops.linear_solver.
-    ldlt_factor on (B, n+m, n+m)) streams the full matrix batch through
-    HBM once per column — ~300 ms at B=1024, n=128; in VMEM it's ~10 ms.
-    """
-    dtype = H_ref.dtype
-    H = H_ref[:]         # (n, n, TL)
-    J = J_ref[:]         # (m, n, TL)
-    e = e_ref[:]         # (m, TL)
-    rhs = rhs_ref[:]     # (D, TL)
-    TL = e.shape[-1]
-    D = n + m
-
-    row_n = lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
-    col_n = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
-    eye_n = (row_n == col_n).astype(dtype)
-    row_m = lax.broadcasted_iota(jnp.int32, (m, m, 1), 0)
-    col_m = lax.broadcasted_iota(jnp.int32, (m, m, 1), 1)
-    eye_m = (row_m == col_m).astype(dtype)
-
-    JT = jnp.swapaxes(J, 0, 1)  # (n, m, TL)
-    K = jnp.concatenate(
-        [
-            jnp.concatenate([H + delta * eye_n, JT], axis=1),       # (n, D, TL)
-            jnp.concatenate([J, -(e[:, None, :] * eye_m)], axis=1),  # (m, D, TL)
-        ],
-        axis=0,
-    )  # (D, D, TL)
-
-    L, d, fail = _ldlt_blocked_t(K)
-    del K  # the refinement residual is rebuilt from H/J/e so the full
-    # KKT matrix does not stay live through the solve (VMEM: D^2 per lane)
-
-    def K_apply(s):
-        dx, nu = s[:n], s[n:]
-        top = (
-            jnp.sum(H * dx[None, :, :], axis=1)
-            + delta * dx
-            + jnp.sum(J * nu[:, None, :], axis=0)
-        )
-        bot = jnp.sum(J * dx[None, :, :], axis=1) - e * nu
-        return jnp.concatenate([top, bot], axis=0)
-
-    sol = _ldlt_solve_t(L, d, rhs)
-    for _ in range(refine):
-        r = rhs - K_apply(sol)
-        sol = sol + _ldlt_solve_t(L, d, r)
-
-    sol_ref[:] = sol
-    zero = jnp.zeros((1, TL), dtype)
-    st_ref[:] = jnp.concatenate([fail] + [zero] * 7, axis=0)
-
-
-def _polish_lane_tile(n: int, m: int, vmem_budget: int = _VMEM_CAP) -> int:
-    # measured (Mosaic compile-reported) live set at D=257: the K assembly
-    # concats, the LDL' trailing matrix + panel list + assembled L, and the
-    # substitution blocks add up to ~8.3 D^2 words per lane — budget 9
-    D = n + m
-    per_lane = 4 * (9 * D * D + 12 * D)
-    tl = 128
-    while tl > 8 and per_lane * tl > vmem_budget:
-        tl //= 2
-    return tl
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("n", "m", "delta", "refine", "lane_tile", "interpret"),
-)
-def _kkt_polish_call(Ht, Jt, et, rhst, *, n, m, delta, refine, lane_tile, interpret):
-    B = et.shape[-1]
-    D = n + m
-    grid = (B // lane_tile,)
-
-    def spec(*lead):
-        return pl.BlockSpec(
-            lead + (lane_tile,),
-            lambda i: (0,) * len(lead) + (i,),
-            memory_space=pltpu.VMEM,
-        )
-
-    kernel = functools.partial(
-        _kkt_polish_kernel, n=n, m=m, delta=delta, refine=refine
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[spec(n, n), spec(m, n), spec(m), spec(D)],
-        out_specs=(spec(D), spec(8)),
-        out_shape=(
-            jax.ShapeDtypeStruct((D, B), et.dtype),
-            jax.ShapeDtypeStruct((8, B), et.dtype),
-        ),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * D * D * D // 3,
-            bytes_accessed=B * (n * n + m * n + 3 * D) * 4,
-            transcendentals=0,
-        ),
-    )(Ht, Jt, et, rhst)
-
-
-def kkt_polish_kernel(Ht, Jt, et, rhst, delta=1e-6, refine=1, interpret=False):
-    """Batched regularized KKT polish solve in transposed layout.
-
-    Ht (n,n,B) Hessian, Jt (m,n,B) Jacobian, et (m,B) +/- regularization
-    weights, rhst (n+m,B) right-hand side.  Returns (sol (n+m,B),
-    fail (B,) f32).  Pads B to the lane tile internally.
-    """
-    if jax.default_backend() != "tpu":
-        interpret = True
-    n = Ht.shape[0]
-    m = et.shape[0]
-    B = et.shape[-1]
-    lane_tile = _polish_lane_tile(n, m)
-    pad = (-B) % lane_tile
-    args = (Ht, Jt, et, rhst)
-    if pad:
-        args = tuple(
-            jnp.concatenate([v, jnp.ones(v.shape[:-1] + (pad,), v.dtype)], axis=-1)
-            for v in args
-        )
-    def call_one(*a):
-        return _kkt_polish_call(
-            *a, n=n, m=m, delta=float(delta), refine=int(refine),
-            lane_tile=lane_tile, interpret=interpret,
-        )
-
-    Bp = args[2].shape[-1]  # padded batch
-    if lane_tile < 128 and not interpret:
-        sol, st = _chunked_lanes(call_one, args, Bp, lane_tile)
-    else:
-        sol, st = call_one(*args)
-    if pad:
-        sol, st = sol[..., :B], st[..., :B]
-    return sol, st[0]
 
 
 @functools.partial(

@@ -36,26 +36,14 @@ def qp_solve_batch(
     if settings.scaling > 0:
         # equilibrate per problem, solve scaled through whichever tier,
         # then rescore against the ORIGINAL problem (see qp.scaling)
-        import dataclasses as _dc
+        from sqp_solver_tpu.qp.scaling import solve_with_scaling
 
-        from sqp_solver_tpu.qp.scaling import (
-            rescore,
-            ruiz_equilibrate,
-            scale_state,
-            unscale_result,
+        return solve_with_scaling(
+            lambda p, s_, st_: qp_solve_batch(p, s_, st_, impl=impl),
+            qp,
+            settings,
+            state,
         )
-
-        scaled, s = ruiz_equilibrate(qp, settings.scaling)
-        # polish AFTER unscaling (in original coordinates, where the
-        # active-set thresholds are meaningful), not inside the scaled solve
-        inner = _dc.replace(settings, scaling=0, polish=False)
-        st = None if state is None else scale_state(state, s)
-        res = unscale_result(qp_solve_batch(scaled, inner, st, impl=impl), s)
-        if settings.polish:
-            from sqp_solver_tpu.qp.polish import polish_qp
-
-            res = polish_qp(qp, res, settings)
-        return rescore(qp, res, settings)
     if settings.acceleration != "none" and impl in ("fused", "kernel"):
         raise ValueError(
             "acceleration='anderson' is supported on the per-problem and "

@@ -110,28 +110,9 @@ def qp_solve(
     """
     settings.validate()
     if settings.scaling > 0:
-        # Ruiz-equilibrate, solve scaled (recursion with scaling=0), map
-        # back, and re-derive status from TRUE residuals (see qp.scaling)
-        import dataclasses as _dc
+        from sqp_solver_tpu.qp.scaling import solve_with_scaling
 
-        from sqp_solver_tpu.qp.scaling import (
-            rescore,
-            ruiz_equilibrate,
-            scale_state,
-            unscale_result,
-        )
-
-        scaled, s = ruiz_equilibrate(qp, settings.scaling)
-        # polish AFTER unscaling (in original coordinates, where the
-        # active-set thresholds are meaningful), not inside the scaled solve
-        inner = _dc.replace(settings, scaling=0, polish=False)
-        st = None if state is None else scale_state(state, s)
-        res = unscale_result(qp_solve(scaled, inner, st), s)
-        if settings.polish:
-            from sqp_solver_tpu.qp.polish import polish_qp
-
-            res = polish_qp(qp, res, settings)
-        return rescore(qp, res, settings)
+        return solve_with_scaling(qp_solve, qp, settings, state)
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
     dtype = P.dtype
     n, m = qp.n, qp.m
@@ -246,10 +227,19 @@ def qp_solve(
         rp_p, rd_p, mz_p, mq_p = update_state(x, z, y)
         rp_a, rd_a, mz_a, mq_a = update_state(x_a, z_a, y_a)
         comb_a = _combined_res(rp_a, rd_a, mz_a, mq_a)
+        # termination-aligned safeguard: besides improving the combined
+        # residual, the candidate must pass the termination test whenever
+        # the plain iterate does — otherwise AA could trade a small dual
+        # overshoot for a big primal gain and un-converge a converged
+        # chunk, costing an extra `seg` iterations
+        term = lambda rp, rd, mz, mq: (rp <= eps_abs + eps_rel * mz) & (
+            rd <= eps_abs + eps_rel * mq
+        )
         accept = (
             (pairs > 0)
             & jnp.isfinite(comb_a)
             & (comb_a < _combined_res(rp_p, rd_p, mz_p, mq_p))
+            & (term(rp_a, rd_a, mz_a, mq_a) | ~term(rp_p, rd_p, mz_p, mq_p))
         )
         sel = lambda a, p: jnp.where(accept, a, p)
         stats = (

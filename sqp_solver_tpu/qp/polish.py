@@ -140,6 +140,14 @@ def polish_qp(
     """Polish a (possibly batched) QP result.  Shape-polymorphic: works on
     single problems (n,), (m,) and batches (B, n), (B, m)."""
     del settings  # polish parameters are its own; settings kept for API symmetry
+    # pin matmul precision for the WHOLE polish, including the accept
+    # guard's KKT residuals: a bf16-decomposed guard would accept/reject
+    # candidates on corrupted errors (CLAUDE.md precision rule)
+    with jax.default_matmul_precision("highest"):
+        return _polish_impl(qp, result, delta, refine_steps)
+
+
+def _polish_impl(qp, result, delta, refine_steps):
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
     x, y, z = result.x, result.y, result.z
 

@@ -48,7 +48,14 @@ from sqp_solver_tpu.qp.types import (
     QuadraticProblem,
 )
 
-__all__ = ["Scaling", "ruiz_equilibrate", "scale_state", "unscale_result", "rescore"]
+__all__ = [
+    "Scaling",
+    "ruiz_equilibrate",
+    "scale_state",
+    "unscale_result",
+    "rescore",
+    "solve_with_scaling",
+]
 
 # per-sweep clamp on the scaling factors (keeps pathological rows/columns
 # from driving the cumulative scaling to extremes)
@@ -125,11 +132,70 @@ def ruiz_equilibrate(
     P, q, A, l, u, d, e, c = jax.lax.fori_loop(
         0, iters, body, (P, q, A, l0, u0, d, e, c)
     )
+
+    # --- classification invariance -----------------------------------------
+    # The solver classifies rows FROM THE DATA (src/qp.cpp:284-294), so row
+    # scaling must not move a row across a classification boundary:
+    #  * an INEQUALITY gap e*(u-l) shrunk below RHO_TOL would be solved as
+    #    an equality (a different problem);
+    #  * a finite bound pushed past LOOSE_BOUNDS_THRESH would make the row
+    #    loose (silently dropped).
+    # Any positive row scaling is algebraically valid, so correct e per row
+    # (equality rows can only shrink their gap — they stay equalities).
+    from sqp_solver_tpu.qp.classify import RHO_TOL
+
+    gap0 = problem.u - problem.l
+    # gap crossings only matter for rows with BOTH bounds finite: one-sided
+    # rows keep an infinite classifier gap through the restored sentinel
+    ineq_finite = (gap0 >= RHO_TOL) & ~loose_l & ~loose_u
+    eq0 = gap0 < RHO_TOL
+    ce_up = jnp.where(
+        ineq_finite & ((u - l) < RHO_TOL),
+        (1.01 * RHO_TOL) / jnp.maximum(u - l, 1e-30),
+        jnp.where(  # equality rows scaled UP cross the other way
+            eq0 & ((u - l) >= RHO_TOL),
+            (0.5 * RHO_TOL) / jnp.maximum(u - l, 1e-30),
+            1.0,
+        ),
+    )
+    bound_mag = jnp.maximum(jnp.abs(jnp.where(loose_l, 0.0, l)),
+                            jnp.abs(jnp.where(loose_u, 0.0, u))) * ce_up
+    ce_down = jnp.where(
+        bound_mag > 0.1 * LOOSE_BOUNDS_THRESH,
+        (0.1 * LOOSE_BOUNDS_THRESH) / jnp.maximum(bound_mag, 1e-30),
+        1.0,
+    )
+    ce = ce_up * ce_down
+    A = A * ce[..., :, None]
+    l = l * ce
+    u = u * ce
+    e = e * ce
+
     # restore loose-bound sentinels (never active; keeps the scaled
     # problem's constraint classification identical on loose rows)
     l = jnp.where(loose_l, jnp.asarray(-_BIG, dtype), l)
     u = jnp.where(loose_u, jnp.asarray(_BIG, dtype), u)
     return QuadraticProblem(P=P, q=q, A=A, l=l, u=u), Scaling(d=d, e=e, c=c)
+
+
+def solve_with_scaling(inner_solve, qp, settings, state=None) -> QPResult:
+    """The one scale->solve->unscale->polish->rescore pipeline, shared by
+    every entry point (a hand-synced copy per caller already diverged once
+    on precision pinning).  ``inner_solve(scaled_qp, inner_settings,
+    scaled_state)`` runs whichever tier the caller dispatches to; polish
+    runs AFTER unscaling, in original coordinates, where the active-set
+    thresholds are meaningful."""
+    import dataclasses as _dc
+
+    scaled, s = ruiz_equilibrate(qp, settings.scaling)
+    inner = _dc.replace(settings, scaling=0, polish=False)
+    st = None if state is None else scale_state(state, s)
+    res = unscale_result(inner_solve(scaled, inner, st), s)
+    if settings.polish:
+        from sqp_solver_tpu.qp.polish import polish_qp
+
+        res = polish_qp(qp, res, settings)
+    return rescore(qp, res, settings)
 
 
 def scale_state(state: QPState, s: Scaling) -> QPState:
@@ -158,7 +224,17 @@ def rescore(
 ) -> QPResult:
     """Recompute true residuals of ``result`` on the ORIGINAL problem and
     re-derive the status against the original tolerances (reference
-    termination math, src/qp.cpp:344-361, evaluated unscaled)."""
+    termination math, src/qp.cpp:344-361, evaluated unscaled).
+
+    Matmul precision is pinned HERE (not only in callers): the status
+    decision must never be made from TPU bf16-decomposed residuals — a
+    converged problem would read as MAX_ITER_EXCEEDED (CLAUDE.md: every
+    solver entry point pins precision)."""
+    with jax.default_matmul_precision("highest"):
+        return _rescore_impl(problem, result, settings)
+
+
+def _rescore_impl(problem, result, settings):
     P, q, A = problem.P, problem.q, problem.A
     x, z, y = result.x, result.z, result.y
     Ax = jnp.einsum("...mn,...n->...m", A, x)

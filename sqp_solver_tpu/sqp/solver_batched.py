@@ -94,6 +94,14 @@ def sqp_solve_fused(
     """Solve a batch of NLPs: ``x0`` is (B, n); problem data leaves are
     batched (B, ...) or shared (unbatched)."""
     settings.validate()
+    if settings.qp.scaling > 0 or settings.qp.acceleration != "none":
+        # fail loudly instead of silently dropping the requested feature:
+        # the batch-explicit inner-QP paths implement neither; the
+        # per-problem tier (sqp_solve [+ vmap]) supports both
+        raise ValueError(
+            "inner-QP scaling/acceleration are supported on the per-problem "
+            "SQP tier only (sqp_solve / sqp_solve_batch(impl='vmap'))"
+        )
     if settings.qp_impl == "kernel":
         # the fused SQP-step kernel path: BFGS + posdef fallback + QP solve
         # in one Pallas kernel, Hessian kept in kernel layout end-to-end

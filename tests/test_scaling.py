@@ -132,3 +132,59 @@ class TestF32Rescue:
                               adaptive_rho=True)
         res = qp_solve_batch(problem, settings)
         assert (np.asarray(res.info.status) == QPStatus.MAX_ITER_EXCEEDED).any()
+
+
+class TestClassificationInvariance:
+    def test_row_scaling_cannot_cross_class_boundaries(self):
+        """Equilibration must not turn an inequality into an equality
+        (scaled gap < RHO_TOL) or a finite bound into a loose one
+        (past LOOSE_BOUNDS_THRESH) — the solver classifies FROM THE DATA,
+        so a crossing silently solves a different problem."""
+        from sqp_solver_tpu.qp import constr_type_init
+
+        rng = np.random.default_rng(0)
+        n, m = 6, 5
+        A = rng.normal(size=(m, n))
+        A[0] *= 1e8   # huge row -> e ~ 1e-4 sweeps, gap shrinks hard
+        A[1] *= 1e-9  # tiny row -> e grows, finite bounds blow up
+        P = np.eye(n)
+        q = rng.normal(size=n)
+        l = np.array([0.0, -1e15, -1e20, 0.0, 1.0])
+        u = np.array([1.0, 1e15, 2.0, 1e20, 1.0 + 1e-5])  # last row: equality
+        qp = QuadraticProblem(
+            P=jnp.asarray(P), q=jnp.asarray(q), A=jnp.asarray(A),
+            l=jnp.asarray(l), u=jnp.asarray(u),
+        )
+        scaled, _ = ruiz_equilibrate(qp, 10)
+        np.testing.assert_array_equal(
+            np.asarray(constr_type_init(scaled.l, scaled.u)),
+            np.asarray(constr_type_init(qp.l, qp.u)),
+        )
+
+    def test_scaled_solve_still_correct_after_correction(self):
+        from sqp_solver_tpu.qp import constr_type_init
+
+        rng = np.random.default_rng(1)
+        n, m = 6, 4
+        M = rng.normal(size=(n, n))
+        P = M @ M.T + np.eye(n)
+        A = rng.normal(size=(m, n))
+        A[0] *= 1e7
+        q = rng.normal(size=n)
+        l = -np.abs(rng.normal(size=m)) * np.array([1e7, 1, 1, 1])
+        u = np.abs(rng.normal(size=m)) * np.array([1e7, 1, 1, 1])
+        qp = QuadraticProblem(
+            P=jnp.asarray(P)[None].repeat(2, 0), q=jnp.asarray(q)[None].repeat(2, 0),
+            A=jnp.asarray(A)[None].repeat(2, 0), l=jnp.asarray(l)[None].repeat(2, 0),
+            u=jnp.asarray(u)[None].repeat(2, 0),
+        )
+        # NOTE: the UNSCALED solver cannot converge on this problem
+        # (res_dual stalls at ~0.6 after 8000 iters — which is the point
+        # of equilibration), so correctness is judged by the rescored
+        # TRUE residuals: SOLVED at 1e-9 on the ORIGINAL problem.
+        res = qp_solve_batch(qp, QPSettings(eps_abs=1e-9, eps_rel=1e-9,
+                                            max_iter=8000, adaptive_rho=True,
+                                            scaling=10))
+        assert (np.asarray(res.info.status) == QPStatus.SOLVED).all()
+        assert np.asarray(res.info.res_prim).max() < 1e-8
+        assert np.asarray(res.info.res_dual).max() < 1e-8
