@@ -320,6 +320,9 @@ def main():
         log(
             f"structured MPC ({label}): n={qp_s.P.shape[-1]} B={Bs} "
             f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
+            " (vmap tier: both configs share the same dynamic-loop sync floor"
+            " through the relay, so the dense/blocktri delta is a LOWER bound"
+            " on the backend speedup)"
         )
 
     # ---- supplementary: batched QP throughput -------------------------------

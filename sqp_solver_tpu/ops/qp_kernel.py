@@ -415,26 +415,32 @@ def _admm_core(
         return xn, zn, yn
 
     nfact = jnp.zeros((1, TL), dtype)
+    # rho the CURRENT Minv was factored under: starts at the entry rho
+    # (whose factor the caller provided or the first epoch computes) and
+    # updates only when a refactor actually happens — a solve can end with
+    # rho != rho_fact when an adaptive update fires on the final epoch, and
+    # factor reuse (SOC) must pair Minv with rho_fact, not the final rho
+    rho_fact = rho
 
     def epoch_body(ec):
         (x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-         pending, Minv, nfact, e) = ec
+         pending, Minv, nfact, rho_fact, e) = ec
 
         # factorize only if some still-active lane changed rho — skipped
         # epochs (converged tile / stable rho) cost one scalar predicate
         def do_factor(args):
-            Minv_old, fail_old, cnt = args
+            Minv_old, fail_old, cnt, rf_old = args
             Minv_new, f = _factor_schur(
                 P, A, _rho_from(rho, loose, equality), sigma, eye_n
             )
             act_f = (1.0 - done) * (1.0 - fail_old)
-            return Minv_new, jnp.maximum(fail_old, f * act_f), cnt + 1.0
+            return Minv_new, jnp.maximum(fail_old, f * act_f), cnt + 1.0, rho
 
-        Minv, failv, nfact = lax.cond(
+        Minv, failv, nfact, rho_fact = lax.cond(
             jnp.any(pending * (1.0 - done) * (1.0 - failv) > 0.0),
             do_factor,
             lambda args: args,
-            (Minv, failv, nfact),
+            (Minv, failv, nfact, rho_fact),
         )
         rho_vec_e = _rho_from(rho, loose, equality)
 
@@ -489,7 +495,7 @@ def _admm_core(
             pending = changed.astype(dtype)
         return (
             x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-            pending, Minv, nfact, e + 1,
+            pending, Minv, nfact, rho_fact, e + 1,
         )
 
     def epoch_cond(ec):
@@ -498,11 +504,11 @@ def _admm_core(
 
     ec = (
         x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-        pending, Minv, nfact, jnp.zeros((), jnp.int32),
+        pending, Minv, nfact, rho_fact, jnp.zeros((), jnp.int32),
     )
     ec = lax.while_loop(epoch_cond, epoch_body, ec)
     # x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd
-    # (+ Minv at 14, nfact at 15)
+    # (+ Minv at 14, nfact at 15, rho_fact at 16)
     return ec
 
 
@@ -695,13 +701,17 @@ def _sqp_step_kernel(
     )
     x, z, y, done, failv, itc, rho_f, rho_upd, rho_est, rp, rd = ec[:11]
     nfact = nfact0 + ec[15]
+    # st row 7 carries the rho the EMITTED factor (ec[14]) was computed
+    # under — an adaptive update on the final epoch leaves rho_f ahead of
+    # the factor, and a factor-reusing re-solve (SOC) must stay consistent
+    rho_fact = ec[16]
 
     po_ref[:] = x
     zo_ref[:] = z
     yo_ref[:] = y
     Bo_ref[:] = Bn
     st_ref[:] = jnp.concatenate(
-        [done, itc, rp, rd, failv, rho_upd, rho_est, rho_f, nfact], axis=0
+        [done, itc, rp, rd, failv, rho_upd, rho_est, rho_fact, nfact], axis=0
     )
     if out_minv:
         mo_ref[:] = ec[14]
@@ -787,7 +797,10 @@ def sqp_step_kernel(
     gradient delta, mskt (8,B) f32 rows [reset, update-allowed, active,
     rho-in, 0...], xt/zt/yt warm-start iterates.  Returns (p, z, lam,
     B_new, st[, Minv]) with st rows [done, iter, res_prim, res_dual,
-    fail, rho_updates, rho_estimate, rho_final, n_factorizations].
+    fail, rho_updates, rho_estimate, rho_of_emitted_factor,
+    n_factorizations].  Row 7 is the rho the emitted Minv was factored
+    under (NOT necessarily the final rho): feed it back as msk row 3 when
+    reusing the factor.
 
     ``minv_in`` (n,n,B) reuses a previous solve's factor (put its final
     rho in msk row 3) — the SOC re-solve path where only l, u change

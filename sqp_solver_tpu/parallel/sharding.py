@@ -117,9 +117,18 @@ def sharded_sqp_solve_batch(
         lam0 = jax.numpy.zeros((x0.shape[0], m), x0.dtype)
 
     in_specs = (_batch_spec(problem, mesh), P(BATCH_AXIS, None), P(BATCH_AXIS, None))
-    out_spec = jax.tree.map(
-        lambda _: P(BATCH_AXIS),
-        jax.eval_shape(local, problem, x0, lam0),
-    )
+    out_shapes = jax.eval_shape(local, problem, x0, lam0)
+    B_local = x0.shape[0]
+
+    def _leaf_spec(leaf):
+        # most result leaves are batch-leading, but the record_trace ring
+        # buffers are (max_iter, B, ...): shard their SECOND axis — a
+        # blanket P('batch') would concatenate shards along max_iter and
+        # silently garble the trace
+        if leaf.ndim >= 2 and leaf.shape[0] != B_local and leaf.shape[1] == B_local:
+            return P(None, BATCH_AXIS)
+        return P(BATCH_AXIS)
+
+    out_spec = jax.tree.map(_leaf_spec, out_shapes)
     fn = _shard_map(local, mesh, in_specs, out_spec)
     return jax.jit(fn)(problem, x0, lam0)

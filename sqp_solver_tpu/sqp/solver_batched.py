@@ -473,7 +473,11 @@ def sqp_solve_fused(
 
             bad = jnp.isnan(x_pol).any(-1) | jnp.isnan(lam_pol).any(-1)
             stat_p, viol_p = kkt_parts(x_pol, lam_pol)
-            stat_o, viol_o = kkt_parts(x_out, lam_out)
+            if _pol_pass == 0:
+                stat_o, viol_o = kkt_parts(x_out, lam_out)
+            else:
+                # the previous pass already scored the accepted point
+                stat_o, viol_o = stat_f, viol_f  # noqa: F821
             better = (
                 jnp.maximum(stat_p, viol_p) < jnp.maximum(stat_o, viol_o)
             ) & (~bad)

@@ -497,7 +497,11 @@ def sqp_solve_kernel_fused(
                 | (fail_pol > 0.0)
             )
             stat_p, viol_p = kkt_parts(x_pol, lam_pol)
-            stat_o, viol_o = kkt_parts(x_out, lam_out)
+            if _pol_pass == 0:
+                stat_o, viol_o = kkt_parts(x_out, lam_out)
+            else:
+                # the previous pass already scored the accepted point
+                stat_o, viol_o = stat_f, viol_f  # noqa: F821
             better = (
                 jnp.maximum(stat_p, viol_p) < jnp.maximum(stat_o, viol_o)
             ) & (~bad)

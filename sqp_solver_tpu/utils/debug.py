@@ -46,10 +46,20 @@ def print_settings(settings, file=None) -> None:
             print(f"  {f.name} = {v}", file=file)
 
 
-_QP_STATUS = {0: "SOLVED", 1: "MAX_ITER_EXCEEDED", 2: "UNSOLVED",
-              3: "NUMERICAL_ISSUES", 4: "UNINITIALIZED"}
-_SQP_STATUS = {0: "SOLVED", 1: "MAX_ITER_EXCEEDED", 2: "INVALID_SETTINGS",
-               3: "NUMERICAL_ISSUES"}
+def _status_names(enum_cls):
+    return {int(s): s.name for s in enum_cls}
+
+
+def _qp_status_names():
+    from sqp_solver_tpu.qp.types import QPStatus
+
+    return _status_names(QPStatus)
+
+
+def _sqp_status_names():
+    from sqp_solver_tpu.sqp.types import SQPStatus
+
+    return _status_names(SQPStatus)
 
 
 def print_info(info, file=None) -> None:
@@ -59,7 +69,8 @@ def print_info(info, file=None) -> None:
     the reference's single-problem dump when B is in the thousands."""
     file = file or sys.stdout
     is_sqp = hasattr(info, "qp_solver_iter")
-    names = _SQP_STATUS if is_sqp else _QP_STATUS
+    # derive labels from the enums so they can never drift from the codes
+    names = _sqp_status_names() if is_sqp else _qp_status_names()
     status = np.asarray(info.status)
     print(f"{type(info).__name__}:", file=file)
     if status.ndim == 0:

@@ -112,3 +112,39 @@ class TestShardedKernelPath:
         np.testing.assert_allclose(
             np.asarray(res.x)[ok], np.asarray(ref.x)[ok], atol=1e-3
         )
+
+
+class TestShardedTrace:
+    def test_record_trace_axis_not_garbled(self):
+        """record_trace ring buffers are (max_iter, B, ...): the sharded
+        out_spec must shard their SECOND axis (a blanket batch-leading
+        spec would concatenate device shards along max_iter)."""
+        import dataclasses
+
+        from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+        from sqp_solver_tpu.parallel.sharding import (
+            make_mesh,
+            shard_batch,
+            sharded_sqp_solve_batch,
+        )
+        from sqp_solver_tpu.sqp import SQPSettings
+
+        mesh = make_mesh()
+        B, N, T = 16, 4, 5
+        problem, x0 = sphere_cap_nlp_batch(B, N, dtype=jnp.float32)
+        settings = SQPSettings(
+            max_iter=T, termination="kkt", eps_prim=1e-3, eps_dual=1e-3,
+            schedule="fixed", qp_impl="kernel", record_trace=True,
+        )
+        res = sharded_sqp_solve_batch(
+            shard_batch(problem, mesh), shard_batch(x0, mesh), None,
+            settings, mesh, impl="fused",
+        )
+        assert res.trace["x"].shape == (T, B, N)
+        # must equal the unsharded trace exactly
+        from sqp_solver_tpu.parallel.batch import sqp_solve_batch
+
+        ref = sqp_solve_batch(problem, x0, None, settings, impl="fused")
+        np.testing.assert_allclose(
+            np.asarray(res.trace["x"]), np.asarray(ref.trace["x"]), atol=1e-6
+        )
