@@ -385,7 +385,10 @@ def _admm_core(
     itc = jnp.zeros((1, TL), dtype)
     # reference counts the setup rho_vec_update (src/qp.cpp:34): starts at 1
     rho_upd = jnp.ones((1, TL), dtype)
-    rho_est = jnp.zeros((1, TL), dtype)
+    # rho_est doubles as the pending-rho slot for factor-time adoption:
+    # it MUST start at the entry rho (a first epoch entered with pending=1
+    # — the whole-QP kernel's setup factorization — adopts from it)
+    rho_est = rho * jnp.ones((1, TL), dtype)
     rp = jnp.zeros((1, TL), dtype)
     rd = jnp.zeros((1, TL), dtype)
     mz = jnp.zeros((1, TL), dtype)
@@ -415,32 +418,37 @@ def _admm_core(
         return xn, zn, yn
 
     nfact = jnp.zeros((1, TL), dtype)
-    # rho the CURRENT Minv was factored under: starts at the entry rho
-    # (whose factor the caller provided or the first epoch computes) and
-    # updates only when a refactor actually happens — a solve can end with
-    # rho != rho_fact when an adaptive update fires on the final epoch, and
-    # factor reuse (SOC) must pair Minv with rho_fact, not the final rho
-    rho_fact = rho
 
     def epoch_body(ec):
         (x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-         pending, Minv, nfact, rho_fact, e) = ec
+         pending, Minv, nfact, e) = ec
+
+        # ADOPT a pending rho change only here, together with its
+        # factorization: `rho` and `Minv` are then paired BY CONSTRUCTION
+        # at every point (an adaptive update firing on the final epoch
+        # leaves rho at the factored value — essential for factor reuse,
+        # where a mismatched (Minv, rho) pair would iterate inconsistently)
+        adopt = pending * (1.0 - done) * (1.0 - failv)  # exact 0/1 rows
+        # arithmetic select (adopt is exactly 0 or 1): a select_n between
+        # the replicated-initialized rho carry and the lane-varying rho_est
+        # trips Mosaic relayout legalization; mul/add does not
+        rho = rho + adopt * (rho_est - rho)
 
         # factorize only if some still-active lane changed rho — skipped
         # epochs (converged tile / stable rho) cost one scalar predicate
         def do_factor(args):
-            Minv_old, fail_old, cnt, rf_old = args
+            Minv_old, fail_old, cnt = args
             Minv_new, f = _factor_schur(
                 P, A, _rho_from(rho, loose, equality), sigma, eye_n
             )
             act_f = (1.0 - done) * (1.0 - fail_old)
-            return Minv_new, jnp.maximum(fail_old, f * act_f), cnt + 1.0, rho
+            return Minv_new, jnp.maximum(fail_old, f * act_f), cnt + 1.0
 
-        Minv, failv, nfact, rho_fact = lax.cond(
-            jnp.any(pending * (1.0 - done) * (1.0 - failv) > 0.0),
+        Minv, failv, nfact = lax.cond(
+            jnp.any(adopt > 0.0),
             do_factor,
             lambda args: args,
-            (Minv, failv, nfact, rho_fact),
+            (Minv, failv, nfact),
         )
         rho_vec_e = _rho_from(rho, loose, equality)
 
@@ -489,13 +497,15 @@ def _admm_core(
                 (new_rho < rho / adaptive_rho_tolerance)
                 | (new_rho > rho * adaptive_rho_tolerance)
             ) & act
-            rho = jnp.where(changed, new_rho, rho)
+            # NOTE: rho itself is NOT updated here — the pending value
+            # (carried via rho_est + the pending mask) is adopted at the
+            # next epoch's factorization so (rho, Minv) stay paired
             rho_upd = rho_upd + changed.astype(dtype)
             rho_est = jnp.where(act, new_rho, rho_est)
             pending = changed.astype(dtype)
         return (
             x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-            pending, Minv, nfact, rho_fact, e + 1,
+            pending, Minv, nfact, e + 1,
         )
 
     def epoch_cond(ec):
@@ -504,11 +514,12 @@ def _admm_core(
 
     ec = (
         x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-        pending, Minv, nfact, rho_fact, jnp.zeros((), jnp.int32),
+        pending, Minv, nfact, jnp.zeros((), jnp.int32),
     )
     ec = lax.while_loop(epoch_cond, epoch_body, ec)
     # x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd
-    # (+ Minv at 14, nfact at 15, rho_fact at 16)
+    # (+ Minv at 14, nfact at 15); rho at index 6 is ALWAYS the rho the
+    # current Minv was factored under (pending updates adopt at factor time)
     return ec
 
 
@@ -536,11 +547,18 @@ def _qp_kernel(
 
     x, z, y = x_ref[:], z_ref[:], y_ref[:]
     zero_row = jnp.zeros((1, TL), dtype)
+    # rho derives from an input row so its loop-carry layout is
+    # lane-varying from the start: a replicated jnp.full init pins the
+    # carry slot replicated and the factor-time rho adoption (a
+    # lane-varying add in _admm_core) then fails Mosaic relayout
+    # legalization.  0*q is exact for finite q; a NaN-poisoned lane
+    # NaNs its rho, which the factorization fail flag reports anyway.
+    rho_row = rho0 + 0.0 * q[0:1, :]
     ec = _admm_core(
         P, A, q, l, u, x, z, y,
         done=zero_row,
         failv=zero_row,
-        rho=jnp.full((1, TL), rho0, dtype),
+        rho=rho_row,
         Minv=jnp.zeros((n, n, TL), dtype),
         pending=jnp.ones((1, TL), dtype),
         sigma=sigma, alpha=alpha, eps_abs=eps_abs, eps_rel=eps_rel,
@@ -701,17 +719,16 @@ def _sqp_step_kernel(
     )
     x, z, y, done, failv, itc, rho_f, rho_upd, rho_est, rp, rd = ec[:11]
     nfact = nfact0 + ec[15]
-    # st row 7 carries the rho the EMITTED factor (ec[14]) was computed
-    # under — an adaptive update on the final epoch leaves rho_f ahead of
-    # the factor, and a factor-reusing re-solve (SOC) must stay consistent
-    rho_fact = ec[16]
+    # rho_f is ALWAYS the rho the emitted factor (ec[14]) was computed
+    # under: pending adaptive updates adopt only at factorization time,
+    # so a factor-reusing re-solve (SOC) stays consistent
 
     po_ref[:] = x
     zo_ref[:] = z
     yo_ref[:] = y
     Bo_ref[:] = Bn
     st_ref[:] = jnp.concatenate(
-        [done, itc, rp, rd, failv, rho_upd, rho_est, rho_fact, nfact], axis=0
+        [done, itc, rp, rd, failv, rho_upd, rho_est, rho_f, nfact], axis=0
     )
     if out_minv:
         mo_ref[:] = ec[14]

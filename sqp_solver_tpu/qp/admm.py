@@ -359,7 +359,10 @@ def qp_solve(
         res_dual=zero,
         max_Ax_z=zero,
         max_Px_ATy_q=zero,
-        rho_estimate=zero,
+        # before any adaptive evaluation the best estimate IS the current
+        # rho (all tiers agree on this convention; the kernel's adoption
+        # slot requires it)
+        rho_estimate=jnp.asarray(settings.rho, dtype),
         # the reference counts the setup rho_vec_update too
         # (src/qp.cpp:34 -> info.rho_updates++), so it reports >= 1
         rho_updates=jnp.ones((), jnp.int32),

@@ -81,6 +81,7 @@ class _Carry(NamedTuple):
     max_Px_ATy_q: jax.Array
     rho_estimate: jax.Array
     rho_updates: jax.Array  # (B,) int32
+    aa: object  # batched Anderson state dict, or None (static shape)
 
 
 @_pin_precision
@@ -94,6 +95,10 @@ def qp_solve_fused(
     settings.validate()
     if settings.linear_solver != "schur_cholesky":
         raise ValueError("qp_solve_fused supports linear_solver='schur_cholesky'")
+    if settings.scaling > 0:
+        raise ValueError(
+            "call qp_solve_fused through qp_solve_batch for scaling support"
+        )
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
     dtype = P.dtype
     B, n = q.shape
@@ -151,6 +156,85 @@ def qp_solve_fused(
         rhoip = jnp.concatenate([zeros_n, 1.0 / rho_vec], axis=-1)
         return rhop, rhoip
 
+    use_aa = settings.acceleration == "anderson"
+    m_aa = settings.anderson_memory
+    D2 = 2 * D
+
+    def _stats_xla(s_, yp_):
+        """Residual stats in the kernel's formulas, at XLA level (for the
+        Anderson candidate's safeguard)."""
+        hp = lax.Precision.HIGHEST
+        x = s_[:, :n]
+        z = s_[:, n:]
+        y = yp_[:, n:]
+        Ax = jnp.einsum("bmn,bn->bm", A, x, precision=hp)
+        Px = jnp.einsum("bij,bj->bi", P, x, precision=hp)
+        ATy = jnp.einsum("bmn,bm->bn", A, y, precision=hp)
+        linf = lambda v: jnp.max(jnp.abs(v), axis=-1)
+        return (
+            linf(Ax - z),
+            linf(Px + q + ATy),
+            jnp.maximum(linf(Ax), linf(z)),
+            jnp.maximum(linf(Px), jnp.maximum(linf(ATy), linf(q))),
+        )
+
+    def _anderson_step(c, s_new, yp_new, stats):
+        """Batched safeguarded type-II AA on the chunk map (same scheme as
+        qp/admm.py, per-problem accept masks).  See qp/admm.py for the
+        algorithm notes; buffers reset per problem on rho refactors."""
+        aa = c.aa
+        u_in = jnp.concatenate([c.s, c.yp], axis=-1)  # (B, 2D)
+        u_T = jnp.concatenate([s_new, yp_new], axis=-1)
+        f = u_T - u_in
+        have_prev = aa["prev_ok"]  # (B,)
+        roll = lambda buf, col: jnp.where(
+            have_prev[:, None, None],
+            jnp.roll(buf, -1, axis=1).at[:, -1, :].set(col),
+            buf,
+        )
+        dU = roll(aa["dU"], u_T - aa["uT_prev"])
+        dF = roll(aa["dF"], f - aa["f_prev"])
+        pairs = jnp.minimum(aa["pairs"] + have_prev.astype(jnp.int32), m_aa)
+        valid = jnp.arange(m_aa)[None, :] >= (m_aa - pairs)[:, None]  # (B, k)
+        dFm = jnp.where(valid[:, :, None], dF, 0.0)
+        dUm = jnp.where(valid[:, :, None], dU, 0.0)
+        hp = lax.Precision.HIGHEST
+        G = jnp.einsum("bkd,bld->bkl", dFm, dFm, precision=hp)
+        reg = 1e-8 * (jnp.trace(G, axis1=-2, axis2=-1) + 1.0)  # (B,)
+        eye_k = jnp.eye(m_aa, dtype=dtype)
+        G = G + (reg[:, None, None] + (~valid).astype(dtype)[:, :, None] * eye_k) * eye_k
+        rhs_g = jnp.einsum("bkd,bd->bk", dFm, f, precision=hp)
+        gamma = jnp.linalg.solve(G, rhs_g[..., None])[..., 0]
+        u_aa = u_T - jnp.einsum("bkd,bk->bd", dUm, gamma, precision=hp)
+        x_a = u_aa[:, :n]
+        z_a = jnp.clip(u_aa[:, n:D], l, u)  # keep the box invariant
+        y_a = u_aa[:, D + n :]
+        s_a = jnp.concatenate([x_a, z_a], axis=-1)
+        yp_a = jnp.concatenate([zeros_n, y_a], axis=-1)
+
+        rp_p, rd_p, mz_p, mq_p = stats[:, 0], stats[:, 1], stats[:, 2], stats[:, 3]
+        rp_a, rd_a, mz_a, mq_a = _stats_xla(s_a, yp_a)
+        comb = lambda rp, rd, mz, mq: rp / (mz + tiny) + rd / (mq + tiny)
+        term = lambda rp, rd, mz, mq: (rp <= eps_abs + eps_rel * mz) & (
+            rd <= eps_abs + eps_rel * mq
+        )
+        comb_a = comb(rp_a, rd_a, mz_a, mq_a)
+        accept = (
+            (pairs > 0)
+            & jnp.isfinite(comb_a)
+            & (comb_a < comb(rp_p, rd_p, mz_p, mq_p))
+            & (term(rp_a, rd_a, mz_a, mq_a) | ~term(rp_p, rd_p, mz_p, mq_p))
+        )
+        sel_v = lambda a, p: jnp.where(accept[:, None], a, p)
+        stats_out = jnp.where(
+            accept[:, None], jnp.stack([rp_a, rd_a, mz_a, mq_a], axis=-1), stats
+        )
+        aa_new = dict(
+            dU=dU, dF=dF, uT_prev=u_T, f_prev=f,
+            prev_ok=jnp.ones((B,), jnp.bool_), pairs=pairs,
+        )
+        return sel_v(s_a, s_new), sel_v(yp_a, yp_new), stats_out, aa_new
+
     def rho_epoch_update(c: _Carry) -> _Carry:
         """Adaptive rho estimate + masked re-factorization
         (reference src/qp.cpp:125-144)."""
@@ -178,13 +262,24 @@ def qp_solve_fused(
             )
 
         factor = lax.cond(jnp.any(changed), refactor, lambda: c.factor)
-        return c._replace(
+        c = c._replace(
             rho=rho,
             rho_vec=rho_vec,
             factor=factor,
             rho_estimate=jnp.where(active, new_rho, c.rho_estimate),
             rho_updates=c.rho_updates + changed.astype(jnp.int32),
         )
+        if use_aa:
+            # the chunk map changed for re-factored problems: stale AA
+            # pairs would extrapolate through a different fixed point
+            c = c._replace(
+                aa=dict(
+                    c.aa,
+                    prev_ok=c.aa["prev_ok"] & ~changed,
+                    pairs=jnp.where(changed, 0, c.aa["pairs"]),
+                )
+            )
+        return c
 
     def body(c: _Carry) -> _Carry:
         rhop, rhoip = padded_rho(c.rho_vec)
@@ -194,6 +289,9 @@ def qp_solve_fused(
             c.factor["W"], P, A, qv, scale1, rhoip, rhop, lp, up, c.s, c.yp,
             alpha=alpha, seg=seg, backend=backend, tile=tile,
         )
+        if use_aa:
+            s_new, yp_new, stats, aa_new = _anderson_step(c, s_new, yp_new, stats)
+            c = c._replace(aa=aa_new)
         active = (~c.done) & (~c.failed)
         s = jnp.where(active[:, None], s_new, c.s)
         yp = jnp.where(active[:, None], yp_new, c.yp)
@@ -250,9 +348,23 @@ def qp_solve_fused(
         res_dual=zeros_b,
         max_Ax_z=zeros_b,
         max_Px_ATy_q=zeros_b,
-        rho_estimate=zeros_b,
+        # before any adaptive evaluation the best estimate IS the current
+        # rho (all tiers agree; the kernel's adoption slot requires it)
+        rho_estimate=jnp.full((B,), settings.rho, dtype),
         # reference counts the setup rho_vec_update too (src/qp.cpp:34)
         rho_updates=jnp.ones((B,), jnp.int32),
+        aa=(
+            dict(
+                dU=jnp.zeros((B, m_aa, D2), dtype),
+                dF=jnp.zeros((B, m_aa, D2), dtype),
+                uT_prev=jnp.zeros((B, D2), dtype),
+                f_prev=jnp.zeros((B, D2), dtype),
+                prev_ok=jnp.zeros((B,), jnp.bool_),
+                pairs=jnp.zeros((B,), jnp.int32),
+            )
+            if use_aa
+            else None
+        ),
     )
 
     if settings.schedule == "fixed":

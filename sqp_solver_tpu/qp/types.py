@@ -129,10 +129,11 @@ class QPSettings:
     # Safeguarded type-II Anderson acceleration of the ADMM fixed point
     # at chunk (check_termination) granularity: "none" (reference
     # semantics) or "anderson".  The extrapolated candidate is accepted
-    # per chunk only if its TRUE residual beats the plain iterate, so it
-    # can never slow convergence by more than the safeguard's bookkeeping
-    # (~2 extra residual evaluations per chunk).  Per-problem and vmap
-    # tiers only.
+    # per chunk only if its TRUE residual beats the plain iterate (and
+    # passes the termination test whenever the plain one does), so it can
+    # never slow convergence by more than the safeguard's bookkeeping
+    # (~2 extra residual evaluations per chunk).  Supported on the
+    # per-problem, vmap and fused tiers (not the whole-solve kernel).
     acceleration: str = "none"
     anderson_memory: int = 4
 

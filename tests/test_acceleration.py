@@ -77,5 +77,20 @@ class TestAnderson:
             qp_solve_batch(
                 qp,
                 QPSettings(acceleration="anderson"),
-                impl="fused",
+                impl="kernel",
             )
+
+    def test_fused_tier_matches_vmap_tier(self):
+        """The batched AA implementation must reproduce the per-problem
+        one: same iterate reductions, same optima."""
+        qp = random_qp_batch(batch=8, n=10, m=15, seed=6, dtype=jnp.float64)
+        s = dataclasses.replace(BASE, acceleration="anderson")
+        ref = qp_solve_batch(qp, s, impl="vmap")
+        out = qp_solve_batch(qp, s, impl="fused")
+        assert (np.asarray(out.info.status) == QPStatus.SOLVED).all()
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
+        # both accelerate: well under the plain iteration count
+        plain = qp_solve_batch(qp, BASE, impl="fused")
+        assert np.asarray(out.info.iter).mean() < 0.6 * np.asarray(
+            plain.info.iter
+        ).mean()
