@@ -43,26 +43,10 @@ from sqp_solver_tpu.qp.types import (
     QPStatus,
     QuadraticProblem,
 )
+from sqp_solver_tpu.utils.precision import pin_precision
 
 __all__ = ["qp_solve_fused"]
 
-
-def _pin_precision(fn):
-    """Trace the whole solve at HIGHEST matmul precision.
-
-    This must cover *user* callables too: objective/constraint autodiff at
-    TPU's default precision computes Jacobians via bf16 passes, which
-    poisons the QP data and the line-search merit values (measured: batch
-    err_p99 went from 7.9e-2 to 1.8e-3 by pinning).
-    """
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-
-    return wrapped
 
 
 class _Carry(NamedTuple):
@@ -84,7 +68,7 @@ class _Carry(NamedTuple):
     aa: object  # batched Anderson state dict, or None (static shape)
 
 
-@_pin_precision
+@pin_precision
 def qp_solve_fused(
     qp: QuadraticProblem,
     settings: QPSettings = QPSettings(),

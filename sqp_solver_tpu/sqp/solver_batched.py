@@ -31,26 +31,10 @@ from sqp_solver_tpu.sqp.types import (
     SQPSettings,
     SQPStatus,
 )
+from sqp_solver_tpu.utils.precision import pin_precision
 
 __all__ = ["sqp_solve_fused"]
 
-
-def _pin_precision(fn):
-    """Trace the whole solve at HIGHEST matmul precision.
-
-    This must cover *user* callables too: objective/constraint autodiff at
-    TPU's default precision computes Jacobians via bf16 passes, which
-    poisons the QP data and the line-search merit values (measured: batch
-    err_p99 went from 7.9e-2 to 1.8e-3 by pinning).
-    """
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-
-    return wrapped
 
 
 def _mv(M, v):
@@ -84,7 +68,7 @@ class _Carry(NamedTuple):
     trace: object  # dict of (max_iter, B, ...) ring buffers, or None
 
 
-@_pin_precision
+@pin_precision
 def sqp_solve_fused(
     problem: NonlinearProblem,
     x0: jax.Array,

@@ -40,19 +40,10 @@ from sqp_solver_tpu.sqp.types import (
     SQPSettings,
     SQPStatus,
 )
+from sqp_solver_tpu.utils.precision import pin_precision
 
 __all__ = ["sqp_solve_kernel_fused"]
 
-
-def _pin_precision(fn):
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        with jax.default_matmul_precision("highest"):
-            return fn(*args, **kwargs)
-
-    return wrapped
 
 
 def _bfgs_update_t(Bt, s_bf, y_bf, reset, upd):
@@ -113,7 +104,7 @@ class _Carry(NamedTuple):
     trace: object  # dict of (max_iter, B, ...) ring buffers, or None
 
 
-@_pin_precision
+@pin_precision
 def sqp_solve_kernel_fused(
     problem: NonlinearProblem,
     x0: jax.Array,
