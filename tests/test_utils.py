@@ -128,3 +128,40 @@ class TestTraceRingBuffer:
         )
         res = sqp_solve_batch(prob, x0, None, s, impl="fused")
         assert res.trace is not None and res.trace["x"].shape == (8, 4, 6)
+
+
+class TestStatusNamesFromEnums:
+    def test_print_info_labels_derive_from_enums(self):
+        """Status labels must come from the QPStatus/SQPStatus enums (the
+        old hand-copied dicts could drift from the codes)."""
+        import io
+
+        from sqp_solver_tpu.qp import QPSettings, QPStatus, qp_solve
+        from sqp_solver_tpu.models.problems import simple_qp
+        from sqp_solver_tpu.utils.debug import print_info
+
+        res = qp_solve(simple_qp(), QPSettings(eps_abs=1e-6, eps_rel=1e-6))
+        buf = io.StringIO()
+        print_info(res.info, file=buf)
+        text = buf.getvalue()
+        assert QPStatus(int(res.info.status)).name in text
+
+
+class TestPerProblemScaling:
+    def test_qp_solve_scaling_single_problem(self):
+        """The per-problem entry point routes through solve_with_scaling
+        (shape-polymorphic: no batch axis)."""
+        import numpy as np
+
+        from sqp_solver_tpu.models.problems import simple_qp
+        from sqp_solver_tpu.qp import QPSettings, QPStatus, qp_solve
+
+        res = qp_solve(
+            simple_qp(),
+            QPSettings(eps_abs=1e-8, eps_rel=1e-8, max_iter=4000,
+                       adaptive_rho=True, scaling=10, polish=True),
+        )
+        assert int(res.info.status) == QPStatus.SOLVED
+        np.testing.assert_allclose(
+            np.asarray(res.x), [0.3, 0.7], atol=1e-6
+        )
