@@ -94,3 +94,30 @@ class TestAnderson:
         assert np.asarray(out.info.iter).mean() < 0.6 * np.asarray(
             plain.info.iter
         ).mean()
+
+
+class TestAndersonEdgeCases:
+    @pytest.mark.parametrize("mem", [1, 8])
+    def test_memory_sizes_consistent_across_tiers(self, mem):
+        qp = random_qp_batch(batch=4, n=8, m=12, seed=2, dtype=jnp.float64)
+        s = dataclasses.replace(BASE, eps_abs=1e-8, eps_rel=1e-8,
+                                max_iter=2000, acceleration="anderson",
+                                anderson_memory=mem)
+        ref = qp_solve_batch(qp, s, impl="vmap")
+        out = qp_solve_batch(qp, s, impl="fused")
+        assert (np.asarray(ref.info.status) == QPStatus.SOLVED).all()
+        np.testing.assert_array_equal(
+            np.asarray(out.info.iter), np.asarray(ref.info.iter)
+        )
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x),
+                                   atol=1e-7)
+
+    def test_check_zero_semantics_preserved(self):
+        """check_termination=0 means 'never check' in the reference
+        (src/qp.cpp:105); acceleration must not change that."""
+        qp = random_qp_batch(batch=4, n=8, m=12, seed=2, dtype=jnp.float64)
+        s = dataclasses.replace(BASE, max_iter=200, check_termination=0,
+                                acceleration="anderson")
+        res = qp_solve_batch(qp, s)
+        assert (np.asarray(res.info.status) == QPStatus.MAX_ITER_EXCEEDED).all()
+        assert (np.asarray(res.info.iter) == 200).all()
