@@ -78,14 +78,6 @@ def sqp_solve_fused(
     """Solve a batch of NLPs: ``x0`` is (B, n); problem data leaves are
     batched (B, ...) or shared (unbatched)."""
     settings.validate()
-    if settings.qp.scaling > 0 or settings.qp.acceleration != "none":
-        # fail loudly instead of silently dropping the requested feature:
-        # the batch-explicit inner-QP paths implement neither; the
-        # per-problem tier (sqp_solve [+ vmap]) supports both
-        raise ValueError(
-            "inner-QP scaling/acceleration are supported on the per-problem "
-            "SQP tier only (sqp_solve / sqp_solve_batch(impl='vmap'))"
-        )
     if settings.qp_impl == "kernel":
         # the fused SQP-step kernel path: BFGS + posdef fallback + QP solve
         # in one Pallas kernel, Hessian kept in kernel layout end-to-end
@@ -215,8 +207,17 @@ def sqp_solve_fused(
         if settings.qp_impl == "kernel":
             from sqp_solver_tpu.ops.qp_kernel import qp_solve_kernel
 
-            return qp_solve_kernel(qp, settings.qp, state)
-        return qp_solve_fused(qp, settings.qp, state)
+            inner = qp_solve_kernel
+        else:
+            inner = qp_solve_fused
+        if settings.qp.scaling > 0:
+            # per-problem Ruiz equilibration of every subproblem (the inner
+            # solve runs scaled; the result is unscaled + rescored against
+            # the true subproblem residuals — see qp.scaling)
+            from sqp_solver_tpu.qp.scaling import solve_with_scaling
+
+            return solve_with_scaling(inner, qp, settings.qp, state)
+        return inner(qp, settings.qp, state)
 
     def merit_weight(mu_prev, p, Bm, grad_obj, c_val, lam_qp):
         constr_l1 = constraint_norm(c_val)

@@ -119,6 +119,12 @@ def sqp_solve_kernel_fused(
     (cross-checked by tests/test_fused_sqp.py).
     """
     settings.validate()
+    if settings.qp.acceleration != "none":
+        raise ValueError(
+            "inner-QP acceleration on the kernel tier requires the in-kernel "
+            "Anderson path (pending); use qp_impl='fused' for accelerated "
+            "inner QPs"
+        )
     dtype = x0.dtype
     B, n = x0.shape
     l, u = problem.l, problem.u
@@ -133,7 +139,11 @@ def sqp_solve_kernel_fused(
     # lane-slicing (~6 GB/s) then floors every sweep at ~32 ms (measured,
     # B=1024 n=128).  Otherwise BFGS runs at the XLA level in the SAME
     # transposed layout (no relayout) and the kernel keeps TL=128.
-    fuse_bfgs = _step_lane_tile(n, m, fused_bfgs=True) >= 128
+    # With inner-QP scaling the BFGS must also run at the XLA level: the
+    # in-kernel update would see the SCALED Hessian against unscaled s/y.
+    fuse_bfgs = (
+        _step_lane_tile(n, m, fused_bfgs=True) >= 128 and settings.qp.scaling == 0
+    )
 
     # ---- batched problem callables -----------------------------------------
     params = problem.params
@@ -233,7 +243,7 @@ def sqp_solve_kernel_fused(
 
     def kernel_qp(Bt, Jt, grad_obj, lqp, uqp, step_prev, dgl, reset, upd,
                   active, qp_state, do_bfgs, minv_in=None, rho_in=None,
-                  want_minv=False):
+                  want_minv=False, scale=None):
         zrow = jnp.zeros((B,), dtype)
         rho_row = rho_in if rho_in is not None else zrow
         mskt = jnp.stack(
@@ -247,14 +257,46 @@ def sqp_solve_kernel_fused(
             xt = jnp.zeros((n, B), dtype)
             zt = jnp.zeros((m, B), dtype)
             yt = jnp.zeros((m, B), dtype)
+        qt, lt, ut = grad_obj.T, lqp.T, uqp.T
+        Bt_orig = Bt
+        if settings.qp.scaling > 0:
+            # transposed-layout Ruiz (see qp.scaling): the whole subproblem
+            # is equilibrated without leaving the kernel layout.  A SOC
+            # re-solve passes the FIRST solve's factors back via ``scale``
+            # so the reused Minv matches the scaled operator it iterates.
+            from sqp_solver_tpu.qp.scaling import ruiz_equilibrate_t
+
+            if scale is None:
+                Bt, qt, Jt, lt, ut, d_s, e_s, c_s = ruiz_equilibrate_t(
+                    Bt, qt, Jt, lt, ut, settings.qp.scaling
+                )
+            else:
+                d_s, e_s, c_s = scale
+                Bt = c_s * d_s[:, None, :] * Bt * d_s[None, :, :]
+                qt = c_s * d_s * qt
+                Jt = e_s[:, None, :] * Jt * d_s[None, :, :]
+                lt = lt * e_s
+                ut = ut * e_s
+            scale = (d_s, e_s, c_s)
+            xt = xt / d_s
+            zt = zt * e_s
+            yt = yt * c_s / e_s
         out = sqp_step_kernel(
-            Bt, Jt, grad_obj.T, lqp.T, uqp.T, step_prev.T, dgl.T, mskt,
+            Bt, Jt, qt, lt, ut, step_prev.T, dgl.T, mskt,
             xt, zt, yt, settings.qp, do_bfgs=do_bfgs, minv_in=minv_in,
             want_minv=want_minv, interpret=interpret,
         )
         p_t, z_t, lam_t, Bt_new, stk = out[:5]
         minv = out[5] if want_minv else None
-        return p_t.T, z_t.T, lam_t.T, Bt_new, stk, minv
+        if settings.qp.scaling > 0:
+            p_t = p_t * d_s
+            z_t = z_t / e_s
+            lam_t = lam_t * e_s / c_s
+            # the scaled Hessian is internal to the solve: hand back the
+            # original so the caller's merit/SOC math stays in true
+            # coordinates (do_bfgs is always False under scaling)
+            Bt_new = Bt_orig
+        return p_t.T, z_t.T, lam_t.T, Bt_new, stk, minv, scale
 
     def body(c: _Carry) -> _Carry:
         k = c.k + 1
@@ -285,7 +327,7 @@ def sqp_solve_kernel_fused(
             Bt_in = c.Bt
         else:
             Bt_in = _bfgs_update_t(c.Bt, c.step_prev, delta_grad_L, reset, upd)
-        p, z_qp, lam_qp, Bt_new, stk, minv = kernel_qp(
+        p, z_qp, lam_qp, Bt_new, stk, minv, qp_scale = kernel_qp(
             Bt_in, Jt, grad_obj, l - c_val, u - c_val, c.step_prev,
             delta_grad_L, reset, upd, active, c.qp_state, do_bfgs=fuse_bfgs,
             want_minv=soc,
@@ -303,10 +345,11 @@ def sqp_solve_kernel_fused(
             # re-solve, so the Minv and rho from the first solve carry
             # over (the reference refactors from scratch — TODO at
             # src/sqp.cpp:273)
-            p, z_soc, lam_qp, _, stk2, _ = kernel_qp(
+            p, z_soc, lam_qp, _, stk2, _, _ = kernel_qp(
                 Bt_new, Jt, grad_obj, l - d, u - d, c.step_prev,
                 delta_grad_L, reset, upd, active, qp_state_next,
                 do_bfgs=False, minv_in=minv, rho_in=stk[7],
+                scale=qp_scale,
             )
             qp_iter = qp_iter + jnp.where(active, stk2[1].astype(jnp.int32), 0)
             qp_state_next = QPState(x=p, z=z_soc, y=lam_qp)

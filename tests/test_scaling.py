@@ -188,3 +188,110 @@ class TestClassificationInvariance:
         assert (np.asarray(res.info.status) == QPStatus.SOLVED).all()
         assert np.asarray(res.info.res_prim).max() < 1e-8
         assert np.asarray(res.info.res_dual).max() < 1e-8
+
+
+class TestTransposedLayout:
+    def test_ruiz_t_parity(self):
+        """ruiz_equilibrate_t (kernel-tier layout) must produce exactly the
+        batch-major equilibration's factors and scaled data."""
+        from sqp_solver_tpu.qp.scaling import ruiz_equilibrate_t
+
+        rng = np.random.default_rng(3)
+        B, n, m = 5, 7, 9
+        P = rng.standard_normal((B, n, n))
+        P = P @ P.transpose(0, 2, 1) * np.exp(rng.standard_normal((B, 1, 1)) * 3)
+        q = rng.standard_normal((B, n)) * 100
+        A = rng.standard_normal((B, m, n)) * np.exp(rng.standard_normal((B, m, 1)) * 2)
+        l = -np.abs(rng.standard_normal((B, m)))
+        u = np.abs(rng.standard_normal((B, m)))
+        l[:, 0] = u[:, 0]  # equality row
+        l[:, 1], u[:, 1] = -1e21, 1e21  # loose row
+        qp = QuadraticProblem(*[jnp.asarray(v, jnp.float64) for v in (P, q, A, l, u)])
+        scaled, s = ruiz_equilibrate(qp, 10)
+        Pt, qt, At, lt, ut, d, e, c = ruiz_equilibrate_t(
+            jnp.moveaxis(qp.P, 0, -1), qp.q.T, jnp.moveaxis(qp.A, 0, -1),
+            qp.l.T, qp.u.T, 10,
+        )
+        for name, a, b in [
+            ("P", scaled.P, jnp.moveaxis(Pt, -1, 0)),
+            ("q", scaled.q, qt.T),
+            ("A", scaled.A, jnp.moveaxis(At, -1, 0)),
+            ("l", scaled.l, lt.T),
+            ("u", scaled.u, ut.T),
+            ("d", s.d, d.T),
+            ("e", s.e, e.T),
+            ("c", s.c, c),
+        ]:
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-12, err_msg=name
+            )
+
+
+class TestSQPInnerScaling:
+    """Inner-QP scaling + acceleration on the batched SQP tiers (the
+    round-2 ValueError guards are gone: VERDICT item 2)."""
+
+    def _settings(self, qp_impl, **qpkw):
+        from sqp_solver_tpu.sqp import SQPSettings
+
+        QS = dict(eps_abs=1e-5, eps_rel=1e-5, max_iter=200, check_termination=25,
+                  warm_start=True, adaptive_rho=True, adaptive_rho_interval=50)
+        QS.update(qpkw)
+        return SQPSettings(
+            max_iter=12, termination="kkt", eps_prim=1e-3, eps_dual=1e-3,
+            schedule="fixed", qp_impl=qp_impl, qp=QPSettings(**QS),
+        )
+
+    def test_fused_and_kernel_tiers_accept_scaling(self):
+        from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+        from sqp_solver_tpu.sqp.solver_batched import sqp_solve_fused
+        from sqp_solver_tpu.sqp.solver_kernel import sqp_solve_kernel_fused
+
+        problem, x0 = sphere_cap_nlp_batch(12, 6, seed=4, dtype=jnp.float32)
+        fus = sqp_solve_fused(problem, x0, None, self._settings("fused", scaling=6))
+        ker = sqp_solve_kernel_fused(problem, x0, None, self._settings("kernel", scaling=6))
+        st_f = np.asarray(fus.info.status)
+        st_k = np.asarray(ker.info.status)
+        # cross-tier agreement with scaling ON in both inner QPs
+        np.testing.assert_array_equal(st_f, st_k)
+        assert (st_f == 0).sum() >= 9
+        ok = st_f == 0
+        np.testing.assert_allclose(
+            np.asarray(fus.x)[ok], np.asarray(ker.x)[ok], atol=1e-4
+        )
+
+    def test_fused_tier_accepts_anderson(self):
+        from sqp_solver_tpu.models.benchmark import (
+            sphere_cap_nlp_batch,
+            sphere_cap_solution,
+        )
+        from sqp_solver_tpu.sqp.solver_batched import sqp_solve_fused
+
+        problem, x0 = sphere_cap_nlp_batch(12, 6, seed=4, dtype=jnp.float64)
+        s = self._settings("fused", acceleration="anderson", eps_abs=1e-6,
+                           eps_rel=1e-6, max_iter=1000)
+        s = dataclasses.replace(s, max_iter=40, eps_prim=1e-6, eps_dual=1e-6,
+                                schedule="early_exit")
+        res = sqp_solve_fused(problem, x0, None, s)
+        st = np.asarray(res.info.status)
+        assert (st == 0).mean() >= 0.9
+        err = np.abs(np.asarray(res.x) - sphere_cap_solution(problem))[st == 0]
+        assert err.max() < 1e-5
+
+    def test_soc_reuses_scale_factors(self):
+        """SOC re-solve under scaling reuses the first solve's (d, e, c)
+        together with its factor — must run and stay cross-tier consistent."""
+        from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+        from sqp_solver_tpu.sqp.solver_kernel import sqp_solve_kernel_fused
+
+        problem, x0 = sphere_cap_nlp_batch(8, 6, seed=4, dtype=jnp.float32)
+        s = dataclasses.replace(
+            self._settings("kernel", scaling=6), second_order_correction=True
+        )
+        res = sqp_solve_kernel_fused(problem, x0, None, s)
+        st = np.asarray(res.info.status)
+        # unconditional SOC stalls some sphere-active instances (quirk Q6);
+        # the contract is: no NaNs, no NUMERICAL_ISSUES, some solve
+        assert not np.isnan(np.asarray(res.x)).any()
+        assert (st == 3).sum() == 0
+        assert (st == 0).sum() >= 4
