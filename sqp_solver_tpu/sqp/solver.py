@@ -26,6 +26,7 @@ from jax import lax
 
 from sqp_solver_tpu.qp.admm import qp_solve
 from sqp_solver_tpu.qp.types import QPState, QuadraticProblem
+from sqp_solver_tpu.sqp import common
 from sqp_solver_tpu.sqp.bfgs import bfgs_update
 from sqp_solver_tpu.utils.precision import hdot
 from sqp_solver_tpu.sqp.types import (
@@ -108,19 +109,10 @@ def sqp_solve(
             return c(x), jac(c)(x)
 
     def constraint_norm(cv):
-        """l1 violation of l <= c <= u (reference src/sqp.cpp:311-319)."""
-        return (
-            tiny
-            + jnp.sum(jnp.maximum(l - cv, 0.0))
-            + jnp.sum(jnp.maximum(cv - u, 0.0))
-        )
+        return common.constraint_norm(cv, l, u, tiny)
 
     def max_violation(cv):
-        """linf violation (reference src/sqp.cpp:330-343)."""
-        return jnp.maximum(
-            jnp.zeros((), dtype),
-            jnp.maximum(jnp.max(l - cv), jnp.max(cv - u)),
-        )
+        return common.max_violation(cv, l, u)
 
     def posdef_repair(B):
         """Escalating diagonal shift until Cholesky succeeds
@@ -148,49 +140,30 @@ def sqp_solve(
         return res
 
     def merit_weight(mu_prev, p, B, grad_obj, c_val, lam_qp):
-        """l1 penalty weight.  Three lower bounds, kept monotone:
-
-        * the reference's merit-model formula (src/sqp.cpp:287), used only
-          when the violation is numerically meaningful — with constr_l1 at
-          machine eps it degenerates to +/-1e16 garbage;
-        * the exactness bound mu > ||lambda*||_inf (N&W Thm 17.3), estimated
-          from the QP multipliers — this is what stops the merit function
-          from accepting large infeasible steps at feasible iterates;
-        * the previous weight (monotone non-decreasing, standard practice).
-        """
-        constr_l1 = constraint_norm(c_val)
-        gp = hdot(grad_obj, p)
-        meaningful = constr_l1 > 1e4 * tiny
-        raw = (gp + 0.5 * hdot(p, hdot(B, p))) / ((1.0 - settings.rho) * constr_l1)
-        model_mu = jnp.where(meaningful, jnp.maximum(raw, 0.0), 0.0)
-        dual_mu = 1.5 * _linf(lam_qp)
-        return jnp.maximum(mu_prev, jnp.maximum(model_mu, dual_mu))
+        return common.merit_weight(
+            mu_prev,
+            hdot(grad_obj, p),
+            hdot(p, hdot(B, p)),
+            constraint_norm(c_val),
+            lam_qp,
+            settings.rho,
+            tiny,
+        )
 
     def line_search(x, p, mu, obj, grad_obj, c_val):
-        """Backtracking on the l1 exact-penalty merit function
-        (reference src/sqp.cpp:277-308).  Also returns whether any step was
-        accepted — total failure triggers a Hessian reset upstream."""
         constr_l1 = constraint_norm(c_val)
         gp = hdot(grad_obj, p)
         phi = obj + mu * constr_l1
         D = gp - mu * constr_l1
 
-        def cond(s):
-            alpha, i, accepted = s
-            return (~accepted) & (i < settings.line_search_max_iter)
-
-        def body(s):
-            alpha, i, accepted = s
+        def eval_merit(alpha):
             x_step = x + alpha * p
-            phi_step = f(x_step) + mu * constraint_norm(c(x_step))
-            accepted = phi_step <= phi + alpha * settings.eta * D
-            alpha = jnp.where(accepted, alpha, settings.tau * alpha)
-            return alpha, i + 1, accepted
+            return f(x_step) + mu * constraint_norm(c(x_step))
 
-        alpha, _, accepted = lax.while_loop(
-            cond, body, (jnp.ones((), dtype), jnp.int32(1), jnp.zeros((), jnp.bool_))
+        return common.line_search_while(
+            eval_merit, dtype, phi, D, settings.eta, settings.tau,
+            settings.line_search_max_iter,
         )
-        return alpha, accepted
 
     def body(carry: _Carry) -> _Carry:
         it = carry.iter + 1
@@ -329,38 +302,27 @@ def sqp_solve(
 
     x_out, lam_out = final.x, final.lam
     if settings.polish:
-        # Newton-KKT polish on the active set with the true Lagrangian
-        # Hessian (see sqp/solver_batched.py for rationale + measurements),
-        # via the Schur-preconditioned ideal-refined solve from qp.polish
-        from sqp_solver_tpu.qp.polish import guess_active_set, kkt_solve_schur_refined
+        # shared multi-pass Newton-KKT polish (sqp.common.polish_nlp):
+        # honors polish_passes and refreshes the status from the FINAL
+        # point's KKT error, exactly like the batched tiers (round-2
+        # review found this tier silently single-pass — a user migrating
+        # tiers got different rescue behavior)
+        def hess_fn(xx, ll):
+            H = jax.hessian(lambda v: f(v) + jnp.dot(ll, c(v)))(xx)
+            return jnp.where(jnp.isnan(H).any(), final.B, H)
 
-        _, grad_f = f_lin(x_out)
-        c_f, J_f = c_lin(x_out)
-        # shifted-bound QP around x_out; equality rows are always active
-        act, b_t = guess_active_set(l - c_f, u - c_f, lam_out)
-        H = jax.hessian(lambda xx: f(xx) + jnp.dot(lam_out, c(xx)))(x_out)
-        H = jnp.where(jnp.isnan(H).any(), final.B, H)
-        J_m = jnp.where(act[..., None], J_f, 0.0)
-        dx, nu, _fail_pol = kkt_solve_schur_refined(
-            H, J_m, act, -grad_f, b_t, nu0=lam_out
+        x_out, lam_out, kkt_rescued = common.polish_nlp(
+            x_out, lam_out, l, u, f_lin, c_lin, hess_fn, settings
         )
-        x_pol = x_out + dx
-        lam_pol = jnp.where(act, nu, 0.0)
-
-        def kkt_err(xx, ll):
-            _, g = f_lin(xx)
-            cv, J = c_lin(xx)
-            return jnp.maximum(_linf(g + hdot(J.T, ll)), max_violation(cv))
-
-        bad = jnp.isnan(x_pol).any() | jnp.isnan(lam_pol).any()
-        better = (kkt_err(x_pol, lam_pol) < kkt_err(x_out, lam_out)) & (~bad)
-        x_out = jnp.where(better, x_pol, x_out)
-        lam_out = jnp.where(better, lam_pol, lam_out)
+    else:
+        kkt_rescued = jnp.zeros((), jnp.bool_)
 
     status = jnp.where(
         final.failed,
         SQPStatus.NUMERICAL_ISSUES,
-        jnp.where(final.done, SQPStatus.SOLVED, SQPStatus.MAX_ITER_EXCEEDED),
+        jnp.where(
+            final.done | kkt_rescued, SQPStatus.SOLVED, SQPStatus.MAX_ITER_EXCEEDED
+        ),
     ).astype(jnp.int32)
     info = SQPInfo(
         status=status,

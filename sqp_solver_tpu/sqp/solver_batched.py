@@ -24,6 +24,7 @@ from jax import lax
 
 from sqp_solver_tpu.qp.admm_batched import qp_solve_fused
 from sqp_solver_tpu.qp.types import QPState, QuadraticProblem
+from sqp_solver_tpu.sqp import common
 from sqp_solver_tpu.sqp.types import (
     NonlinearProblem,
     SQPInfo,
@@ -143,16 +144,10 @@ def sqp_solve_fused(
             c_lin_b = vmap_over(lambda x: (c_raw(x), jac(c_raw)(x)))
 
     def constraint_norm(cv):
-        return (
-            tiny
-            + jnp.sum(jnp.maximum(l - cv, 0.0), axis=-1)
-            + jnp.sum(jnp.maximum(cv - u, 0.0), axis=-1)
-        )
+        return common.constraint_norm(cv, l, u, tiny)
 
     def max_violation(cv):
-        return jnp.maximum(
-            0.0, jnp.maximum(jnp.max(l - cv, axis=-1), jnp.max(cv - u, axis=-1))
-        )
+        return common.max_violation(cv, l, u)
 
     def posdef_repair(Bm):
         bad = jnp.isnan(Bm).any(axis=(-1, -2))
@@ -220,13 +215,15 @@ def sqp_solve_fused(
         return inner(qp, settings.qp, state)
 
     def merit_weight(mu_prev, p, Bm, grad_obj, c_val, lam_qp):
-        constr_l1 = constraint_norm(c_val)
-        gp = _vdot(grad_obj, p)
-        meaningful = constr_l1 > 1e4 * tiny
-        raw = (gp + 0.5 * _vdot(p, _mv(Bm, p))) / ((1.0 - settings.rho) * constr_l1)
-        model_mu = jnp.where(meaningful, jnp.maximum(raw, 0.0), 0.0)
-        dual_mu = 1.5 * _linf(lam_qp)
-        return jnp.maximum(mu_prev, jnp.maximum(model_mu, dual_mu))
+        return common.merit_weight(
+            mu_prev,
+            _vdot(grad_obj, p),
+            _vdot(p, _mv(Bm, p)),
+            constraint_norm(c_val),
+            lam_qp,
+            settings.rho,
+            tiny,
+        )
 
     def line_search(x, p, mu, obj, grad_obj, c_val):
         constr_l1 = constraint_norm(c_val)
@@ -234,28 +231,16 @@ def sqp_solve_fused(
         phi = obj + mu * constr_l1
         D = gp - mu * constr_l1
 
-        def body(carry, _):
-            alpha, accepted = carry
+        def eval_merit(alpha):
             x_step = x + alpha[:, None] * p
             phi_step = f_b(x_step, params) if has_params else f_b(x_step)
             cv = c_b(x_step, params) if has_params else c_b(x_step)
-            phi_step = phi_step + mu * constraint_norm(cv)
-            ok = phi_step <= phi + alpha * settings.eta * D
-            accepted = accepted | ok
-            alpha = jnp.where(accepted, alpha, settings.tau * alpha)
-            return (alpha, accepted), None
+            return phi_step + mu * constraint_norm(cv)
 
-        # fixed-trip scan (same semantics as the reference's backtracking
-        # for-loop, src/sqp.cpp:294-306: at most max_iter-1 evaluations);
-        # a while_loop would add a host-synced condition per trip
-        (alpha, accepted), _ = lax.scan(
-            body,
-            (jnp.ones((B,), dtype), jnp.zeros((B,), jnp.bool_)),
-            None,
-            length=settings.line_search_max_iter - 1,
-            unroll=4,
+        return common.line_search_scan(
+            eval_merit, (B,), dtype, phi, D, settings.eta, settings.tau,
+            settings.line_search_max_iter,
         )
-        return alpha, accepted
 
     def body(c: _Carry) -> _Carry:
         k = c.k + 1
@@ -407,75 +392,33 @@ def sqp_solve_fused(
 
     x_out, lam_out = final.x, final.lam
     if settings.polish:
-        # --- SQP polish: one Newton-KKT step on the active set ------------
-        # Linearize at the final iterate, guess the active set from the
-        # multiplier signs (relative threshold), and solve the masked
-        # equality KKT  [[B+dI, J_act'],[J_act, -e]] [dx; nu] = [-g; b - c]
-        # (Schur-preconditioned ideal-refined solve from qp.polish: one
-        # batched MXU matmul + (B, n, n) Cholesky + refinement sweeps).
-        from sqp_solver_tpu.qp.polish import guess_active_set, kkt_solve_schur_refined
+        # shared multi-pass Newton-KKT polish (sqp.common.polish_nlp) with
+        # the TRUE Lagrangian Hessian by autodiff (the BFGS estimate caps
+        # the Newton step's gain at ~1 digit; measured 6e-4 -> 8e-8 on the
+        # benchmark family)
+        def f_lin_u(xx):
+            return f_lin_b(xx, params) if has_params else f_lin_b(xx)
 
-        # repeated passes re-guess the active set from the polished
-        # multipliers — a mini active-set iteration that rescues
-        # instances whose first guess was wrong (degenerate sets)
-        kkt_rescued = jnp.zeros((B,), jnp.bool_)
-        for _pol_pass in range(settings.polish_passes):
-            obj_f, grad_f = f_lin_b(x_out, params) if has_params else f_lin_b(x_out)
-            c_f, J_f = c_lin_b(x_out, params) if has_params else c_lin_b(x_out)
-            # shifted-bound QP around x_out: active rows enforce
-            # J dx = b - c(x); equality rows are always active
-            act, b_t = guess_active_set(l - c_f, u - c_f, lam_out)
-            # TRUE Lagrangian Hessian by autodiff (the BFGS estimate caps the
-            # Newton step's gain at ~1 digit; the exact Hessian gives the full
-            # quadratic correction — measured 6e-4 -> 8e-8 on the benchmark
-            # family).  Computed once per solve; cost ~ one jacfwd-of-grad.
-            if has_params:
-                lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
-                H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0))(
-                    x_out, lam_out, params
-                )
-            else:
-                lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
-                H_b = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0))(x_out, lam_out)
+        def c_lin_u(xx):
+            return c_lin_b(xx, params) if has_params else c_lin_b(xx)
+
+        if has_params:
+            lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
+            hess_fn = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0))
+            hess_raw = lambda xx, ll: hess_fn(xx, ll, params)
+        else:
+            lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
+            hess_raw = jax.vmap(jax.hessian(lagr, argnums=0), in_axes=(0, 0))
+
+        def hess_u(xx, ll):
             # fall back to the BFGS estimate where the true Hessian is NaN
-            H_bad = jnp.isnan(H_b).any(axis=(-1, -2))
-            H_b = jnp.where(H_bad[:, None, None], final.B, H_b)
-            J_m = jnp.where(act[..., None], J_f, 0.0)
-            dx, nu, _fail_pol = kkt_solve_schur_refined(
-                H_b, J_m, act, -grad_f, b_t, nu0=lam_out
-            )
-            x_pol = x_out + dx
-            lam_pol = jnp.where(act, nu, 0.0)
+            H = hess_raw(xx, ll)
+            bad_h = jnp.isnan(H).any(axis=(-1, -2))
+            return jnp.where(bad_h[:, None, None], final.B, H)
 
-            # accept per problem where the true KKT error (re-linearized at the
-            # polished point) improves
-            def kkt_parts(xx, ll):
-                _, g = f_lin_b(xx, params) if has_params else f_lin_b(xx)
-                cv, J = c_lin_b(xx, params) if has_params else c_lin_b(xx)
-                stat = _linf(g + _mv(J.mT, ll))
-                viol = max_violation(cv)
-                return stat, viol
-
-            bad = jnp.isnan(x_pol).any(-1) | jnp.isnan(lam_pol).any(-1)
-            stat_p, viol_p = kkt_parts(x_pol, lam_pol)
-            if _pol_pass == 0:
-                stat_o, viol_o = kkt_parts(x_out, lam_out)
-            else:
-                # the previous pass already scored the accepted point
-                stat_o, viol_o = stat_f, viol_f  # noqa: F821
-            better = (
-                jnp.maximum(stat_p, viol_p) < jnp.maximum(stat_o, viol_o)
-            ) & (~bad)
-            x_out = jnp.where(better[:, None], x_pol, x_out)
-            lam_out = jnp.where(better[:, None], lam_pol, lam_out)
-            # status refresh: judge the FINAL point against the KKT
-            # tolerances — a straggler whose polished point is optimal is
-            # SOLVED even though the loop phase ran out of iterations (the
-            # rescue for degenerate-active-set instances)
-            stat_f = jnp.where(better, stat_p, stat_o)
-            viol_f = jnp.where(better, viol_p, viol_o)
-            kkt_rescued = (stat_f <= settings.eps_dual) & (viol_f <= settings.eps_prim)
-
+        x_out, lam_out, kkt_rescued = common.polish_nlp(
+            x_out, lam_out, l, u, f_lin_u, c_lin_u, hess_u, settings
+        )
     else:
         kkt_rescued = jnp.zeros((B,), jnp.bool_)
 

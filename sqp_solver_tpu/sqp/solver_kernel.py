@@ -33,6 +33,7 @@ from jax import lax
 
 from sqp_solver_tpu.ops.qp_kernel import _step_lane_tile, sqp_step_kernel
 from sqp_solver_tpu.qp.types import QPState
+from sqp_solver_tpu.sqp import common
 from sqp_solver_tpu.sqp.types import (
     NonlinearProblem,
     SQPInfo,
@@ -190,32 +191,23 @@ def sqp_solve_kernel_fused(
         c_lin_b = jax.vmap(c_lin_raw, in_axes=in_axes, out_axes=(0, -1))
 
     def constraint_norm(cv):
-        return (
-            tiny
-            + jnp.sum(jnp.maximum(l - cv, 0.0), axis=-1)
-            + jnp.sum(jnp.maximum(cv - u, 0.0), axis=-1)
-        )
+        return common.constraint_norm(cv, l, u, tiny)
 
     def max_violation(cv):
-        return jnp.maximum(
-            0.0, jnp.maximum(jnp.max(l - cv, axis=-1), jnp.max(cv - u, axis=-1))
-        )
+        return common.max_violation(cv, l, u)
 
-    def merit_weight(mu_prev, p, Bq_p, grad_obj, c_val, lam_qp):
-        # Bq_p = B @ p is computed without the Hessian: at the QP optimum
-        # the KKT system gives B p = -g - J' lam_qp - sigma-term; we use
-        # the model value via the QP identity only when needed.  Simpler
-        # and exact enough for the penalty bound: use |p' B p| >= 0 lower
-        # bound 0 (the N&W 18.36 bound needs an upper estimate; we follow
-        # solver_batched and compute p' B p explicitly — here via the
-        # returned product).
-        constr_l1 = constraint_norm(c_val)
-        gp = _vdot(grad_obj, p)
-        meaningful = constr_l1 > 1e4 * tiny
-        raw = (gp + 0.5 * Bq_p) / ((1.0 - settings.rho) * constr_l1)
-        model_mu = jnp.where(meaningful, jnp.maximum(raw, 0.0), 0.0)
-        dual_mu = 1.5 * _linf(lam_qp)
-        return jnp.maximum(mu_prev, jnp.maximum(model_mu, dual_mu))
+    def merit_weight(mu_prev, p, pBp, grad_obj, c_val, lam_qp):
+        # pBp = p'Bp is computed by the caller in the kernel's transposed
+        # layout (see body: Bp_prod einsum), so no matrix work runs here
+        return common.merit_weight(
+            mu_prev,
+            _vdot(grad_obj, p),
+            pBp,
+            constraint_norm(c_val),
+            lam_qp,
+            settings.rho,
+            tiny,
+        )
 
     def line_search(x, p, mu, obj, grad_obj, c_val):
         constr_l1 = constraint_norm(c_val)
@@ -223,23 +215,14 @@ def sqp_solve_kernel_fused(
         phi = obj + mu * constr_l1
         D = gp - mu * constr_l1
 
-        def body(carry, _):
-            alpha, accepted = carry
+        def eval_merit(alpha):
             x_step = x + alpha[:, None] * p
-            phi_step = call(f_b, x_step) + mu * constraint_norm(call(c_b, x_step))
-            ok = phi_step <= phi + alpha * settings.eta * D
-            accepted = accepted | ok
-            alpha = jnp.where(accepted, alpha, settings.tau * alpha)
-            return (alpha, accepted), None
+            return call(f_b, x_step) + mu * constraint_norm(call(c_b, x_step))
 
-        (alpha, accepted), _ = lax.scan(
-            body,
-            (jnp.ones((B,), dtype), jnp.zeros((B,), jnp.bool_)),
-            None,
-            length=settings.line_search_max_iter - 1,
-            unroll=4,
+        return common.line_search_scan(
+            eval_merit, (B,), dtype, phi, D, settings.eta, settings.tau,
+            settings.line_search_max_iter,
         )
-        return alpha, accepted
 
     def kernel_qp(Bt, Jt, grad_obj, lqp, uqp, step_prev, dgl, reset, upd,
                   active, qp_state, do_bfgs, minv_in=None, rho_in=None,
@@ -473,82 +456,43 @@ def sqp_solve_kernel_fused(
 
     x_out, lam_out = final.x, final.lam
     if settings.polish:
-        # SQP polish: one Newton-KKT step on the guessed active set with
-        # the TRUE Lagrangian Hessian (see solver_batched for rationale;
-        # measured 6e-4 -> 8e-8 on the benchmark family), solved by the
-        # Schur-preconditioned ideal-refined KKT solve (qp.polish): one
-        # batched (B, n, n) MXU matmul + Cholesky + refinement sweeps.
-        # (The previous in-kernel (n+m)^2 LDL' was a pathological Mosaic
-        # compile at n=128 — D=257 shrinking panels took >30 min.)
-        from sqp_solver_tpu.qp.polish import guess_active_set, kkt_solve_schur_refined
+        # shared multi-pass Newton-KKT polish (sqp.common.polish_nlp) with
+        # the TRUE Lagrangian Hessian, solved by the Schur-preconditioned
+        # ideal-refined KKT solve.  (The previous in-kernel (n+m)^2 LDL'
+        # was a pathological Mosaic compile at n=128 — D=257 shrinking
+        # panels took >30 min.)  The tier's transposed-layout callables
+        # are adapted to the batch-first layout the shared polish expects;
+        # this single moveaxis per pass is off the hot loop.
+        def f_lin_u(xx):
+            return call(f_lin_b, xx)
 
-        # repeated passes re-guess the active set from the polished
-        # multipliers — a mini active-set iteration that rescues
-        # instances whose first guess was wrong (degenerate sets)
-        kkt_rescued = jnp.zeros((B,), jnp.bool_)
-        for _pol_pass in range(settings.polish_passes):
-            obj_f, grad_f = call(f_lin_b, x_out)
-            c_f, Jt_f = call(c_lin_b, x_out)  # (B, m), (m, n, B)
-            # shifted-bound QP around x_out: active rows enforce
-            # J dx = b - c(x) (linearized activity at the bound)
-            act, b_t = guess_active_set(l - c_f, u - c_f, lam_out)
+        def c_lin_u(xx):
+            cv, Jt_ = call(c_lin_b, xx)  # (B, m), (m, n, B)
+            return cv, jnp.moveaxis(Jt_, -1, 0)
+
+        def hess_u(xx, ll):
             if problem.lagrangian_hessian_t is not None:
                 # layout-native hook (see NonlinearProblem docs)
-                H_t = problem.lagrangian_hessian_t(x_out, lam_out, params)
+                H_t = problem.lagrangian_hessian_t(xx, ll, params)
             elif has_params:
-                lagr = lambda xx, ll, pp: f_raw(xx, pp) + jnp.dot(ll, c_raw(xx, pp))
+                lagr = lambda x_, l_, pp: f_raw(x_, pp) + jnp.dot(l_, c_raw(x_, pp))
                 H_t = jax.vmap(
                     jax.hessian(lagr, argnums=0), in_axes=(0, 0, 0), out_axes=-1
-                )(x_out, lam_out, params)
+                )(xx, ll, params)
             else:
-                lagr = lambda xx, ll: f_raw(xx) + jnp.dot(ll, c_raw(xx))
+                lagr = lambda x_, l_: f_raw(x_) + jnp.dot(l_, c_raw(x_))
                 H_t = jax.vmap(
                     jax.hessian(lagr, argnums=0), in_axes=(0, 0), out_axes=-1
-                )(x_out, lam_out)
+                )(xx, ll)
+            # NaN fallback to the BFGS estimate IN TRANSPOSED LAYOUT, so
+            # only one (B, n, n) relayout ever happens
             H_bad = jnp.isnan(H_t).any(axis=(0, 1))  # (B,)
             H_t = jnp.where(H_bad[None, None, :], final.Bt, H_t)
-            H_b = jnp.moveaxis(H_t, -1, 0)  # (B, n, n)
-            J_b = jnp.moveaxis(Jt_f, -1, 0)  # (B, m, n)
-            J_m = jnp.where(act[..., None], J_b, 0.0)
-            dx, nu, fail_pol = kkt_solve_schur_refined(
-                H_b, J_m, act, -grad_f, b_t, nu0=lam_out
-            )
-            x_pol = x_out + dx
-            lam_pol = jnp.where(act, nu, 0.0)
+            return jnp.moveaxis(H_t, -1, 0)  # (B, n, n)
 
-            def kkt_parts(xx, ll):
-                _, g = call(f_lin_b, xx)
-                cv, Jt_ = call(c_lin_b, xx)
-                stat = _linf(
-                    g + jnp.einsum("mnb,bm->bn", Jt_, ll, precision=lax.Precision.HIGHEST)
-                )
-                viol = max_violation(cv)
-                return stat, viol
-
-            bad = (
-                jnp.isnan(x_pol).any(-1)
-                | jnp.isnan(lam_pol).any(-1)
-                | (fail_pol > 0.0)
-            )
-            stat_p, viol_p = kkt_parts(x_pol, lam_pol)
-            if _pol_pass == 0:
-                stat_o, viol_o = kkt_parts(x_out, lam_out)
-            else:
-                # the previous pass already scored the accepted point
-                stat_o, viol_o = stat_f, viol_f  # noqa: F821
-            better = (
-                jnp.maximum(stat_p, viol_p) < jnp.maximum(stat_o, viol_o)
-            ) & (~bad)
-            x_out = jnp.where(better[:, None], x_pol, x_out)
-            lam_out = jnp.where(better[:, None], lam_pol, lam_out)
-            # status refresh: judge the FINAL point against the KKT
-            # tolerances — a straggler whose polished point is optimal is
-            # SOLVED even though the loop phase ran out of iterations (the
-            # rescue for degenerate-active-set instances)
-            stat_f = jnp.where(better, stat_p, stat_o)
-            viol_f = jnp.where(better, viol_p, viol_o)
-            kkt_rescued = (stat_f <= settings.eps_dual) & (viol_f <= settings.eps_prim)
-
+        x_out, lam_out, kkt_rescued = common.polish_nlp(
+            x_out, lam_out, l, u, f_lin_u, c_lin_u, hess_u, settings
+        )
     else:
         kkt_rescued = jnp.zeros((B,), jnp.bool_)
 

@@ -59,3 +59,39 @@ def test_polish_single_problem(oracle):
     assert np.abs(np.asarray(pol.x) - x_ref[0]).max() <= max(
         1e-7, np.abs(np.asarray(res.x) - x_ref[0]).max()
     )
+
+
+def test_sqp_polish_parity_per_problem_vs_batched():
+    """The per-problem tier's polish epilogue is the SAME text as the
+    batched tiers' (sqp.common.polish_nlp): it must honor polish_passes
+    and the status-refresh rescue identically.  Round-2 review found
+    sqp_solve silently single-pass — a user migrating tiers got different
+    rescue behavior on degenerate instances."""
+    import dataclasses
+
+    from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+    from sqp_solver_tpu.sqp import SQPSettings, sqp_solve
+    from sqp_solver_tpu.sqp.solver_batched import sqp_solve_fused
+    from sqp_solver_tpu.qp import QPSettings
+
+    # stress distribution includes degenerate r ~ sqrt(n) instances where
+    # multi-pass polish (re-guessed active sets) is what rescues
+    problem, x0 = sphere_cap_nlp_batch(16, 8, dtype=jnp.float64, r_range=(0.5, 1.2))
+    settings = SQPSettings(
+        max_iter=30, eps_prim=1e-6, eps_dual=1e-6, termination="kkt",
+        polish=True, polish_passes=3,
+        qp=QPSettings(alpha=1.6, eps_abs=1e-6, eps_rel=1e-6, max_iter=2000,
+                      check_termination=25, warm_start=True, adaptive_rho=True,
+                      adaptive_rho_interval=50),
+    )
+    fused = sqp_solve_fused(problem, x0, None, settings)
+    per = jax.vmap(lambda pr, x: sqp_solve(pr, x, None, settings))(problem, x0)
+    st_f = np.asarray(fused.info.status)
+    st_p = np.asarray(per.info.status)
+    # both tiers rescue the same way: the per-problem tier may not be a
+    # strict subset anymore (it polishes multi-pass + refreshes status)
+    assert (st_p == 0).mean() >= (st_f == 0).mean() - 1e-9
+    both = (st_f == 0) & (st_p == 0)
+    np.testing.assert_allclose(
+        np.asarray(per.x)[both], np.asarray(fused.x)[both], atol=2e-5
+    )
