@@ -30,7 +30,34 @@ __all__ = [
     "line_search_scan",
     "line_search_while",
     "polish_nlp",
+    "replay_trace",
 ]
+
+
+def replay_trace(result, callback):
+    """Offline replay of a recorded solve through the reference's
+    per-iteration callback signature (``sqp.hpp:23``): calls
+    ``callback(x_k, lam_k, k)`` for each recorded outer iteration
+    ``k = 1..max(iter)``, with the whole batch per call.
+
+    This is the documented observability contract for runtimes without
+    host-callback support (the axon-tunneled TPU relay rejects
+    ``jax.debug.callback`` entirely): solve with
+    ``settings.record_trace=True``, then replay ``result.trace`` here.
+    On CPU and standard TPU runtimes, ``settings.iteration_callback``
+    also fires live on every tier.
+    """
+    import numpy as np
+
+    if result.trace is None:
+        raise ValueError(
+            "result has no trace — solve with settings.record_trace=True"
+        )
+    xs = np.asarray(result.trace["x"])
+    lams = np.asarray(result.trace["lam"])
+    last = int(np.max(np.asarray(result.info.iter)))
+    for k in range(last):
+        callback(xs[k], lams[k], k + 1)
 
 
 def _linf(v):

@@ -314,6 +314,7 @@ def sqp_solve_fused(
             ki = k - 1
             tr = dict(
                 x=lax.dynamic_update_index_in_dim(c.trace["x"], x_new, ki, 0),
+                lam=lax.dynamic_update_index_in_dim(c.trace["lam"], lam_new, ki, 0),
                 alpha=lax.dynamic_update_index_in_dim(
                     c.trace["alpha"], jnp.where(active, alpha, 0.0), ki, 0
                 ),
@@ -326,6 +327,15 @@ def sqp_solve_fused(
             )
         else:
             tr = c.trace
+
+        if settings.iteration_callback is not None:
+            # live per-iteration hook on the batched tier (reference
+            # sqp.hpp:23, invoked src/sqp.cpp:89-91), with the whole batch
+            # per call.  Requires a runtime with host-callback support:
+            # CPU and standard TPU runtimes have it; the axon-tunneled
+            # relay does not (tested xfail) — use record_trace +
+            # sqp.common.replay_trace there.
+            jax.debug.callback(settings.iteration_callback, x_new, lam_new, k)
 
         sel = lambda newv, oldv: jnp.where(
             active.reshape((B,) + (1,) * (newv.ndim - 1)), newv, oldv
@@ -357,12 +367,19 @@ def sqp_solve_fused(
         T = settings.max_iter
         trace0 = dict(
             x=jnp.zeros((T, B, n), dtype),
+            lam=jnp.zeros((T, B, m), dtype),
             alpha=jnp.zeros((T, B), dtype),
             primal_step_norm=jnp.zeros((T, B), dtype),
             dual_step_norm=jnp.zeros((T, B), dtype),
         )
     else:
         trace0 = None
+    if settings.iteration_callback is not None:
+        # reference calls the hook once with the initial state
+        # (src/sqp.cpp:68-70)
+        jax.debug.callback(
+            settings.iteration_callback, x0, lam0, jnp.zeros((), jnp.int32)
+        )
     init = _Carry(
         x=x0,
         lam=lam0,

@@ -373,6 +373,7 @@ def sqp_solve_kernel_fused(
             ki = k - 1
             tr = dict(
                 x=lax.dynamic_update_index_in_dim(c.trace["x"], x_new, ki, 0),
+                lam=lax.dynamic_update_index_in_dim(c.trace["lam"], lam_new, ki, 0),
                 alpha=lax.dynamic_update_index_in_dim(
                     c.trace["alpha"], jnp.where(active, alpha, 0.0), ki, 0
                 ),
@@ -385,6 +386,10 @@ def sqp_solve_kernel_fused(
             )
         else:
             tr = c.trace
+
+        if settings.iteration_callback is not None:
+            # live hook (see solver_batched for the runtime-support note)
+            jax.debug.callback(settings.iteration_callback, x_new, lam_new, k)
 
         sel = lambda newv, oldv: jnp.where(
             active.reshape((B,) + (1,) * (newv.ndim - 1)), newv, oldv
@@ -421,12 +426,19 @@ def sqp_solve_kernel_fused(
         T = settings.max_iter
         trace0 = dict(
             x=jnp.zeros((T, B, n), dtype),
+            lam=jnp.zeros((T, B, m), dtype),
             alpha=jnp.zeros((T, B), dtype),
             primal_step_norm=jnp.zeros((T, B), dtype),
             dual_step_norm=jnp.zeros((T, B), dtype),
         )
     else:
         trace0 = None
+    if settings.iteration_callback is not None:
+        # reference calls the hook once with the initial state
+        # (src/sqp.cpp:68-70)
+        jax.debug.callback(
+            settings.iteration_callback, x0, lam0, jnp.zeros((), jnp.int32)
+        )
     init = _Carry(
         x=x0,
         lam=lam0,

@@ -151,13 +151,15 @@ class SQPSettings:
     termination: str = "step_norm"
     schedule: str = "early_exit"
     # Per-iteration user hook (reference sqp.hpp:23, called at
-    # src/sqp.cpp:68-70,89-91).  Live callbacks run on the per-problem
-    # path (sqp_solve) via jax.debug.callback; the batched paths cannot
-    # host-call per iteration on TPU — set record_trace=True instead and
-    # replay the recorded iterates offline (result.trace).
+    # src/sqp.cpp:68-70,89-91).  Fires live on EVERY tier via
+    # jax.debug.callback — per problem on sqp_solve, whole-batch per outer
+    # iteration on the fused/kernel tiers — wherever the runtime supports
+    # host callbacks (CPU and standard TPU runtimes do; the axon-tunneled
+    # relay does not: there, set record_trace=True and replay offline with
+    # sqp.common.replay_trace, which mirrors this signature).
     iteration_callback: Optional[Callable] = None
-    # Record per-outer-iteration (x, alpha, step norms) into on-device
-    # ring buffers returned as result.trace — the batched-path
+    # Record per-outer-iteration (x, lam, alpha, step norms) into
+    # on-device ring buffers returned as result.trace — the batched-path
     # observability equivalent of iteration_callback.
     record_trace: bool = False
 
