@@ -366,6 +366,7 @@ def _admm_core(
     P, A, q, l, u, x, z, y, done, failv, rho, Minv, pending,
     *, sigma, alpha, eps_abs, eps_rel, n_epochs, chunks_per_epoch, seg,
     adaptive_rho, adaptive_rho_tolerance, eye_n, loose, equality,
+    check_infeas=False, eps_pinf=1e-4, eps_dinf=1e-4,
 ):
     """The whole ADMM solve for one lane tile, in transposed layout.
 
@@ -393,6 +394,48 @@ def _admm_core(
     rd = jnp.zeros((1, TL), dtype)
     mz = jnp.zeros((1, TL), dtype)
     mq = jnp.zeros((1, TL), dtype)
+    # infeasibility certificate row: 0 none, 1 primal, 2 dual (f32 — bool
+    # carries fail Mosaic legalization)
+    infs = jnp.zeros((1, TL), dtype)
+    if check_infeas:
+        # per-side loose masks for the support/ray tests (OSQP §3.4; see
+        # qp.infeasibility for the scheme — this is its transposed-layout
+        # in-kernel form)
+        lo_l = l < -LOOSE_BOUNDS_THRESH
+        lo_u = u > LOOSE_BOUNDS_THRESH
+        u_eff = jnp.where(lo_u, 1e20, u)
+        l_eff = jnp.where(lo_l, -1e20, l)
+
+    def certificates(dx, dy):
+        """(1, TL) f32 certificate code from the chunk's iterate deltas."""
+        linf0 = lambda v: jnp.max(jnp.abs(v), axis=0, keepdims=True)
+        norm_dy = linf0(dy)
+        ATdy = jnp.sum(A * dy[:, None, :], axis=0)  # (n, TL)
+        sup = jnp.sum(
+            u_eff * jnp.maximum(dy, 0.0) + l_eff * jnp.minimum(dy, 0.0),
+            axis=0,
+            keepdims=True,
+        )
+        prim = (
+            (norm_dy > 0.0)
+            & (linf0(ATdy) <= eps_pinf * norm_dy)
+            & (sup <= -eps_pinf * norm_dy)
+        )
+        norm_dx = linf0(dx)
+        Pdx = jnp.sum(P * dx[None, :, :], axis=1)  # (n, TL)
+        Adx = _mm_t(A, dx[None, :, :])  # (m, TL)
+        qdx = jnp.sum(q * dx, axis=0, keepdims=True)
+        tol = eps_dinf * norm_dx
+        ray_ok = jnp.all(
+            (lo_u | (Adx <= tol)) & (lo_l | (Adx >= -tol)), axis=0, keepdims=True
+        )
+        dual = (
+            (norm_dx > 0.0)
+            & (linf0(Pdx) <= eps_dinf * norm_dx)
+            & (qdx <= -eps_dinf * norm_dx)
+            & ray_ok
+        )
+        return jnp.where(prim, 1.0, jnp.where(dual, 2.0, 0.0))
 
     def stats(x, z, y):
         Ax = _mm_t(A, x[None, :, :])  # (m, TL)
@@ -421,7 +464,7 @@ def _admm_core(
 
     def epoch_body(ec):
         (x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-         pending, Minv, nfact, e) = ec
+         pending, Minv, nfact, infs, e) = ec
 
         # ADOPT a pending rho change only here, together with its
         # factorization: `rho` and `Minv` are then paired BY CONSTRUCTION
@@ -453,13 +496,18 @@ def _admm_core(
         rho_vec_e = _rho_from(rho, loose, equality)
 
         def chunk_body(cc):
-            x, z, y, done, itc, rp, rd, mz, mq, ci = cc
+            x, z, y, done, itc, rp, rd, mz, mq, infs, ci = cc
 
             def it(_, xzy):
                 return admm_iter(*xzy, Minv, rho_vec_e)
 
             xn, zn, yn = lax.fori_loop(0, seg, it, (x, z, y))
-            act = (done == 0.0) & (failv == 0.0)
+            act = (done == 0.0) & (failv == 0.0) & (infs == 0.0)
+            if check_infeas:
+                cert = certificates(xn - x, yn - y)
+                # certified lanes still commit this chunk (matching the
+                # XLA tiers); only future chunks are masked off
+                infs = jnp.where(act & (cert > 0.0), cert, infs)
             x = jnp.where(act, xn, x)
             z = jnp.where(act, zn, z)
             y = jnp.where(act, yn, y)
@@ -473,18 +521,19 @@ def _admm_core(
             mz = jnp.where(act, max_Ax_z, mz)
             mq = jnp.where(act, max_Px_ATy_q, mq)
             done = jnp.maximum(done, (act & conv).astype(x.dtype))
-            return x, z, y, done, itc, rp, rd, mz, mq, ci + 1
+            return x, z, y, done, itc, rp, rd, mz, mq, infs, ci + 1
 
         def chunk_cond(cc):
-            done_c = cc[3]
+            done_c, infs_c = cc[3], cc[9]
             return (cc[-1] < chunks_per_epoch) & jnp.any(
-                (1.0 - done_c) * (1.0 - failv) > 0.0
+                (1.0 - done_c) * (1.0 - failv) * (1.0 - jnp.minimum(infs_c, 1.0))
+                > 0.0
             )
 
-        x, z, y, done, itc, rp, rd, mz, mq, _ = lax.while_loop(
+        x, z, y, done, itc, rp, rd, mz, mq, infs, _ = lax.while_loop(
             chunk_cond,
             chunk_body,
-            (x, z, y, done, itc, rp, rd, mz, mq, jnp.zeros((), jnp.int32)),
+            (x, z, y, done, itc, rp, rd, mz, mq, infs, jnp.zeros((), jnp.int32)),
         )
 
         if adaptive_rho:
@@ -492,7 +541,7 @@ def _admm_core(
             nrp = rp / (mz + tinyv)
             nrd = rd / (mq + tinyv)
             new_rho = jnp.clip(rho * jnp.sqrt(nrp / (nrd + tinyv)), RHO_MIN, RHO_MAX)
-            act = (done == 0.0) & (failv == 0.0)
+            act = (done == 0.0) & (failv == 0.0) & (infs == 0.0)
             changed = (
                 (new_rho < rho / adaptive_rho_tolerance)
                 | (new_rho > rho * adaptive_rho_tolerance)
@@ -505,21 +554,25 @@ def _admm_core(
             pending = changed.astype(dtype)
         return (
             x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-            pending, Minv, nfact, e + 1,
+            pending, Minv, nfact, infs, e + 1,
         )
 
     def epoch_cond(ec):
-        done_c, failv_c, e = ec[3], ec[4], ec[-1]
-        return (e < n_epochs) & jnp.any((1.0 - done_c) * (1.0 - failv_c) > 0.0)
+        done_c, failv_c, infs_c, e = ec[3], ec[4], ec[16], ec[-1]
+        return (e < n_epochs) & jnp.any(
+            (1.0 - done_c) * (1.0 - failv_c) * (1.0 - jnp.minimum(infs_c, 1.0))
+            > 0.0
+        )
 
     ec = (
         x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-        pending, Minv, nfact, jnp.zeros((), jnp.int32),
+        pending, Minv, nfact, infs, jnp.zeros((), jnp.int32),
     )
     ec = lax.while_loop(epoch_cond, epoch_body, ec)
     # x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd
-    # (+ Minv at 14, nfact at 15); rho at index 6 is ALWAYS the rho the
-    # current Minv was factored under (pending updates adopt at factor time)
+    # (+ Minv at 14, nfact at 15, infeas row at 16); rho at index 6 is
+    # ALWAYS the rho the current Minv was factored under (pending updates
+    # adopt at factor time)
     return ec
 
 
@@ -528,6 +581,7 @@ def _qp_kernel(
     xo_ref, zo_ref, yo_ref, st_ref,
     *, n, m, sigma, alpha, rho0, eps_abs, eps_rel,
     n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
+    check_infeas, eps_pinf, eps_dinf,
 ):
     dtype = P_ref.dtype
     P = P_ref[:]          # (n, n, TL)
@@ -566,6 +620,7 @@ def _qp_kernel(
         adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance,
         eye_n=eye_n, loose=loose, equality=equality,
+        check_infeas=check_infeas, eps_pinf=eps_pinf, eps_dinf=eps_dinf,
     )
     x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd = ec[:11]
 
@@ -573,7 +628,7 @@ def _qp_kernel(
     zo_ref[:] = z
     yo_ref[:] = y
     st_ref[:] = jnp.concatenate(
-        [done, itc, rp, rd, failv, rho_upd, rho_est],
+        [done, itc, rp, rd, failv, rho_upd, rho_est, ec[16]],
         axis=0,
     )
 
@@ -879,13 +934,14 @@ def sqp_step_kernel(
     static_argnames=(
         "n", "m", "sigma", "alpha", "rho0", "eps_abs", "eps_rel", "n_epochs",
         "chunks_per_epoch", "seg", "adaptive_rho", "adaptive_rho_tolerance",
-        "lane_tile", "interpret",
+        "lane_tile", "interpret", "check_infeas", "eps_pinf", "eps_dinf",
     ),
 )
 def _qp_kernel_call(
     Pt, At, qt, lt, ut, xt, zt, yt, *, n, m, sigma, alpha, rho0, eps_abs,
     eps_rel, n_epochs, chunks_per_epoch, seg, adaptive_rho,
-    adaptive_rho_tolerance, lane_tile, interpret,
+    adaptive_rho_tolerance, lane_tile, interpret, check_infeas, eps_pinf,
+    eps_dinf,
 ):
     B = qt.shape[-1]
     grid = (B // lane_tile,)
@@ -902,6 +958,7 @@ def _qp_kernel_call(
         eps_abs=eps_abs, eps_rel=eps_rel, n_epochs=n_epochs,
         chunks_per_epoch=chunks_per_epoch, seg=seg, adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance,
+        check_infeas=check_infeas, eps_pinf=eps_pinf, eps_dinf=eps_dinf,
     )
     total_iters = n_epochs * chunks_per_epoch * seg
     x, z, y, st = pl.pallas_call(
@@ -909,12 +966,12 @@ def _qp_kernel_call(
         grid=grid,
         in_specs=[spec(n, n), spec(m, n), spec(n), spec(m), spec(m),
                   spec(n), spec(m), spec(m)],
-        out_specs=(spec(n), spec(m), spec(m), spec(7)),
+        out_specs=(spec(n), spec(m), spec(m), spec(8)),
         out_shape=(
             jax.ShapeDtypeStruct((n, B), qt.dtype),
             jax.ShapeDtypeStruct((m, B), qt.dtype),
             jax.ShapeDtypeStruct((m, B), qt.dtype),
-            jax.ShapeDtypeStruct((7, B), qt.dtype),
+            jax.ShapeDtypeStruct((8, B), qt.dtype),
         ),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
@@ -987,6 +1044,9 @@ def qp_solve_kernel(
             adaptive_rho=bool(settings.adaptive_rho),
             adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
             lane_tile=lane_tile, interpret=interpret,
+            check_infeas=bool(settings.check_infeasibility),
+            eps_pinf=float(settings.eps_pinf),
+            eps_dinf=float(settings.eps_dinf),
         )
 
     args = (Pt, At, qt, lt, ut, xt, zt, yt)
@@ -997,10 +1057,23 @@ def qp_solve_kernel(
     x, z, y, st = (jnp.moveaxis(v, -1, 0) for v in (x, z, y, st))
     done = st[:, 0] > 0.5
     failed = st[:, 4] > 0.5
+    infeas = st[:, 7]
     status = jnp.where(
         failed,
         QPStatus.NUMERICAL_ISSUES,
-        jnp.where(done, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED),
+        jnp.where(
+            done,
+            QPStatus.SOLVED,
+            jnp.where(
+                infeas > 1.5,
+                QPStatus.DUAL_INFEASIBLE,
+                jnp.where(
+                    infeas > 0.5,
+                    QPStatus.PRIMAL_INFEASIBLE,
+                    QPStatus.MAX_ITER_EXCEEDED,
+                ),
+            ),
+        ),
     ).astype(jnp.int32)
     info = QPInfo(
         status=status,

@@ -74,6 +74,7 @@ class _Carry(NamedTuple):
     max_Px_ATy_q: jax.Array
     rho_estimate: jax.Array
     rho_updates: jax.Array  # int32
+    infeas: jax.Array  # int32: 0 none, 1 primal certificate, 2 dual
     aa: object  # Anderson-acceleration state dict, or None (static shape)
 
 
@@ -155,7 +156,13 @@ def qp_solve(
 
     def inner_cond(c: _Carry):
         epoch_end = (c.iter % interval) == 0
-        return (~c.done) & (~c.failed) & (c.iter < settings.max_iter) & (~epoch_end)
+        return (
+            (~c.done)
+            & (~c.failed)
+            & (c.infeas == 0)
+            & (c.iter < settings.max_iter)
+            & (~epoch_end)
+        )
 
     use_aa = settings.acceleration == "anderson"
     m_aa = settings.anderson_memory
@@ -178,32 +185,11 @@ def qp_solve(
         AA-II is its nonlinear generalization).  Buffers reset on rho
         re-factorization (the map changes).
         """
-        aa = c.aa
+        from sqp_solver_tpu.qp.anderson import anderson_extrapolate
+
         u_in = jnp.concatenate([c.x, c.z, c.y])
         u_T = jnp.concatenate([x, z, y])
-        f = u_T - u_in
-        have_prev = aa["prev_ok"]
-        dU = jnp.where(
-            have_prev,
-            jnp.roll(aa["dU"], -1, axis=0).at[-1].set(u_T - aa["uT_prev"]),
-            aa["dU"],
-        )
-        dF = jnp.where(
-            have_prev,
-            jnp.roll(aa["dF"], -1, axis=0).at[-1].set(f - aa["f_prev"]),
-            aa["dF"],
-        )
-        pairs = jnp.minimum(aa["pairs"] + have_prev.astype(jnp.int32), m_aa)
-        valid = jnp.arange(m_aa) >= (m_aa - pairs)  # newest pairs at the end
-        dFm = jnp.where(valid[:, None], dF, 0.0)
-        dUm = jnp.where(valid[:, None], dU, 0.0)
-        G = dFm @ dFm.T
-        # Levenberg regularization + identity on unused rows (their rhs is
-        # zero, so their gamma is exactly zero)
-        reg = 1e-8 * (jnp.trace(G) + 1.0)
-        G = G + (reg + jnp.where(valid, 0.0, 1.0)) * jnp.eye(m_aa, dtype=dtype)
-        gamma = jnp.linalg.solve(G, dFm @ f)
-        u_aa = u_T - dUm.T @ gamma
+        u_aa, pairs, aa_new = anderson_extrapolate(c.aa, u_in, u_T, m_aa)
         x_a = u_aa[:n]
         z_a = jnp.clip(u_aa[n : n + m], l, u)
         y_a = u_aa[n + m :]
@@ -229,10 +215,6 @@ def qp_solve(
         stats = (
             sel(rp_a, rp_p), sel(rd_a, rd_p), sel(mz_a, mz_p), sel(mq_a, mq_p)
         )
-        aa_new = dict(
-            dU=dU, dF=dF, uT_prev=u_T, f_prev=f,
-            prev_ok=jnp.ones((), jnp.bool_), pairs=pairs,
-        )
         return sel(x_a, x), sel(z_a, z), sel(y_a, y), stats, aa_new
 
     def inner_body(c: _Carry):
@@ -242,6 +224,24 @@ def qp_solve(
             x, z, y, stats_pre, aa_new = _anderson_step(c, x, z, y)
             c = c._replace(aa=aa_new)
         it = c.iter + seg
+        if check > 0 and settings.check_infeasibility:
+            # OSQP §3.4: iterate deltas between termination checks are the
+            # certificate candidates (see qp.infeasibility)
+            from sqp_solver_tpu.qp.infeasibility import infeasibility_certificates
+
+            prim_inf, dual_inf = infeasibility_certificates(
+                P, A, q, l, u, x - c.x, y - c.y,
+                settings.eps_pinf, settings.eps_dinf,
+            )
+            c = c._replace(
+                infeas=jnp.where(
+                    c.infeas > 0,
+                    c.infeas,
+                    jnp.where(prim_inf, 1, jnp.where(dual_inf, 2, 0)).astype(
+                        jnp.int32
+                    ),
+                )
+            )
         if check > 0:
             if stats_pre is not None:
                 res_prim, res_dual, max_Ax_z, max_Px_ATy_q = stats_pre
@@ -269,7 +269,9 @@ def qp_solve(
         return c._replace(x=x, z=z, y=y, iter=it)
 
     def outer_cond(c: _Carry):
-        return (~c.done) & (~c.failed) & (c.iter < settings.max_iter)
+        return (
+            (~c.done) & (~c.failed) & (c.infeas == 0) & (c.iter < settings.max_iter)
+        )
 
     def outer_body(c: _Carry):
         factor = lax.cond(
@@ -302,7 +304,13 @@ def qp_solve(
             new_rho = jnp.clip(new_rho, RHO_MIN, RHO_MAX)
             tol = settings.adaptive_rho_tolerance
             changed = (new_rho < c.rho / tol) | (new_rho > c.rho * tol)
-            do_update = changed & (~c.done) & (~c.failed) & (c.iter < settings.max_iter)
+            do_update = (
+                changed
+                & (~c.done)
+                & (~c.failed)
+                & (c.infeas == 0)
+                & (c.iter < settings.max_iter)
+            )
             rho = jnp.where(do_update, new_rho, c.rho)
             rho_vec = jnp.where(do_update, rho_vec_from_type(ctype, new_rho, dtype), c.rho_vec)
             c = c._replace(
@@ -350,26 +358,32 @@ def qp_solve(
         # the reference counts the setup rho_vec_update too
         # (src/qp.cpp:34 -> info.rho_updates++), so it reports >= 1
         rho_updates=jnp.ones((), jnp.int32),
-        aa=(
-            dict(
-                dU=jnp.zeros((m_aa, n + 2 * m), dtype),
-                dF=jnp.zeros((m_aa, n + 2 * m), dtype),
-                uT_prev=jnp.zeros((n + 2 * m,), dtype),
-                f_prev=jnp.zeros((n + 2 * m,), dtype),
-                prev_ok=jnp.zeros((), jnp.bool_),
-                pairs=jnp.zeros((), jnp.int32),
-            )
-            if use_aa
-            else None
-        ),
+        infeas=jnp.zeros((), jnp.int32),
+        aa=None,
     )
+    if use_aa:
+        from sqp_solver_tpu.qp.anderson import anderson_init
+
+        init = init._replace(aa=anderson_init((), m_aa, n + 2 * m, dtype))
 
     final = lax.while_loop(outer_cond, outer_body, init)
 
     status = jnp.where(
         final.failed,
         QPStatus.NUMERICAL_ISSUES,
-        jnp.where(final.done, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED),
+        jnp.where(
+            final.done,
+            QPStatus.SOLVED,
+            jnp.where(
+                final.infeas == 1,
+                QPStatus.PRIMAL_INFEASIBLE,
+                jnp.where(
+                    final.infeas == 2,
+                    QPStatus.DUAL_INFEASIBLE,
+                    QPStatus.MAX_ITER_EXCEEDED,
+                ),
+            ),
+        ),
     ).astype(jnp.int32)
     info = QPInfo(
         status=status,

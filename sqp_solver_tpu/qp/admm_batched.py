@@ -65,6 +65,7 @@ class _Carry(NamedTuple):
     max_Px_ATy_q: jax.Array
     rho_estimate: jax.Array
     rho_updates: jax.Array  # (B,) int32
+    infeas: jax.Array  # (B,) int32: 0 none, 1 primal cert, 2 dual cert
     aa: object  # batched Anderson state dict, or None (static shape)
 
 
@@ -75,10 +76,23 @@ def qp_solve_fused(
     state: Optional[QPState] = None,
     backend: str = "auto",
 ) -> QPResult:
-    """Solve a batch of QPs (every leaf of ``qp`` has leading dim B)."""
+    """Solve a batch of QPs (every leaf of ``qp`` has leading dim B).
+
+    ``linear_solver="schur_cholesky"`` (default) runs the Pallas chunk
+    kernel; ``"schur_block_tridiag"`` runs the same fixed-schedule fused
+    loop with the chunk at the XLA level — vmapped block-Thomas sweeps
+    (batched small GEMMs, MXU) instead of the dense Minv matvec, so
+    structured MPC problems get the O(T b^3) factorization AND the fused
+    tier's one-sync-per-chunk schedule (the vmap tier pays a ~19 ms
+    host-synced condition per dynamic loop step through a tunneled chip).
+    """
     settings.validate()
-    if settings.linear_solver != "schur_cholesky":
-        raise ValueError("qp_solve_fused supports linear_solver='schur_cholesky'")
+    structured = settings.linear_solver == "schur_block_tridiag"
+    if settings.linear_solver != "schur_cholesky" and not structured:
+        raise ValueError(
+            "qp_solve_fused supports linear_solver='schur_cholesky' or "
+            "'schur_block_tridiag'"
+        )
     if settings.scaling > 0:
         raise ValueError(
             "call qp_solve_fused through qp_solve_batch for scaling support"
@@ -89,8 +103,9 @@ def qp_solve_fused(
     m = A.shape[-2]
     D = n + m
 
-    # pad the batch to the pallas tile
-    tile = pick_tile(D)
+    # pad the batch to the pallas tile (dense path only — the structured
+    # path's chunk runs at the XLA level and needs no lane padding)
+    tile = 1 if structured else pick_tile(D)
     pad = (-B) % tile
     if pad:
         padded = QuadraticProblem(
@@ -103,7 +118,24 @@ def qp_solve_fused(
         res = qp_solve_fused(padded, settings, state, backend)
         return jax.tree.map(lambda v: v[:B], res)
 
-    solver = get_linear_solver("schur_cholesky")
+    if structured:
+        _s1 = get_linear_solver("schur_block_tridiag", settings.block_size)
+        # batch-explicit wrappers: the backend is written per problem (its
+        # factor/solve scan over stage blocks); vmap lifts each scan step
+        # to a batched small GEMM — exactly the MXU-friendly form
+        solver = LinearSolverBatched = type(_s1)(
+            factor=jax.vmap(_s1.factor, in_axes=(0, 0, None, 0)),
+            solve=None,
+            solve_xz=jax.vmap(
+                lambda f, P_, A_, rho_, r1, r2: _s1.solve_xz(
+                    f, P_, A_, None, rho_, r1, r2, settings.refine_steps
+                ),
+                in_axes=(0, 0, 0, 0, 0, 0),
+            ),
+            is_failure=lambda f: f["diag_nan"],
+        )
+    else:
+        solver = get_linear_solver("schur_cholesky")
     sigma = jnp.asarray(settings.sigma, dtype)
     eps_abs = jnp.asarray(settings.eps_abs, dtype)
     eps_rel = jnp.asarray(settings.eps_rel, dtype)
@@ -166,30 +198,11 @@ def qp_solve_fused(
         """Batched safeguarded type-II AA on the chunk map (same scheme as
         qp/admm.py, per-problem accept masks).  See qp/admm.py for the
         algorithm notes; buffers reset per problem on rho refactors."""
-        aa = c.aa
+        from sqp_solver_tpu.qp.anderson import anderson_extrapolate
+
         u_in = jnp.concatenate([c.s, c.yp], axis=-1)  # (B, 2D)
         u_T = jnp.concatenate([s_new, yp_new], axis=-1)
-        f = u_T - u_in
-        have_prev = aa["prev_ok"]  # (B,)
-        roll = lambda buf, col: jnp.where(
-            have_prev[:, None, None],
-            jnp.roll(buf, -1, axis=1).at[:, -1, :].set(col),
-            buf,
-        )
-        dU = roll(aa["dU"], u_T - aa["uT_prev"])
-        dF = roll(aa["dF"], f - aa["f_prev"])
-        pairs = jnp.minimum(aa["pairs"] + have_prev.astype(jnp.int32), m_aa)
-        valid = jnp.arange(m_aa)[None, :] >= (m_aa - pairs)[:, None]  # (B, k)
-        dFm = jnp.where(valid[:, :, None], dF, 0.0)
-        dUm = jnp.where(valid[:, :, None], dU, 0.0)
-        hp = lax.Precision.HIGHEST
-        G = jnp.einsum("bkd,bld->bkl", dFm, dFm, precision=hp)
-        reg = 1e-8 * (jnp.trace(G, axis1=-2, axis2=-1) + 1.0)  # (B,)
-        eye_k = jnp.eye(m_aa, dtype=dtype)
-        G = G + (reg[:, None, None] + (~valid).astype(dtype)[:, :, None] * eye_k) * eye_k
-        rhs_g = jnp.einsum("bkd,bd->bk", dFm, f, precision=hp)
-        gamma = jnp.linalg.solve(G, rhs_g[..., None])[..., 0]
-        u_aa = u_T - jnp.einsum("bkd,bk->bd", dUm, gamma, precision=hp)
+        u_aa, pairs, aa_new = anderson_extrapolate(c.aa, u_in, u_T, m_aa)
         x_a = u_aa[:, :n]
         z_a = jnp.clip(u_aa[:, n:D], l, u)  # keep the box invariant
         y_a = u_aa[:, D + n :]
@@ -213,16 +226,12 @@ def qp_solve_fused(
         stats_out = jnp.where(
             accept[:, None], jnp.stack([rp_a, rd_a, mz_a, mq_a], axis=-1), stats
         )
-        aa_new = dict(
-            dU=dU, dF=dF, uT_prev=u_T, f_prev=f,
-            prev_ok=jnp.ones((B,), jnp.bool_), pairs=pairs,
-        )
         return sel_v(s_a, s_new), sel_v(yp_a, yp_new), stats_out, aa_new
 
     def rho_epoch_update(c: _Carry) -> _Carry:
         """Adaptive rho estimate + masked re-factorization
         (reference src/qp.cpp:125-144)."""
-        active = (~c.done) & (~c.failed)
+        active = (~c.done) & (~c.failed) & (c.infeas == 0)
         rp = c.res_prim / (c.max_Ax_z + tiny)
         rd = c.res_dual / (c.max_Px_ATy_q + tiny)
         new_rho = jnp.clip(c.rho * jnp.sqrt(rp / (rd + tiny)), RHO_MIN, RHO_MAX)
@@ -265,18 +274,62 @@ def qp_solve_fused(
             )
         return c
 
+    def chunk_structured(factor, rho_vec, s, yp):
+        """Fixed-length ADMM chunk at the XLA level with the structured
+        solve: same iterate math as the Pallas chunk kernel (and as
+        qp/admm.py), batched explicitly."""
+        x, z = s[:, :n], s[:, n:]
+        y = yp[:, n:]
+        rho_inv = 1.0 / rho_vec
+
+        def one_iter(_, xzy):
+            x, z, y = xzy
+            rhs1 = sigma * x - q
+            rhs2 = z - rho_inv * y
+            xt, zt = solver.solve_xz(factor, P, A, rho_vec, rhs1, rhs2)
+            xn = alpha * xt + (1.0 - alpha) * x
+            z_pre = alpha * zt + (1.0 - alpha) * z
+            zn = jnp.clip(z_pre + rho_inv * y, l, u)
+            yn = y + rho_vec * (z_pre - zn)
+            return xn, zn, yn
+
+        x, z, y = lax.fori_loop(0, seg, one_iter, (x, z, y))
+        s_out = jnp.concatenate([x, z], axis=-1)
+        yp_out = jnp.concatenate([zeros_n, y], axis=-1)
+        stats = jnp.stack(_stats_xla(s_out, yp_out), axis=-1)
+        return s_out, yp_out, stats
+
     def body(c: _Carry) -> _Carry:
-        rhop, rhoip = padded_rho(c.rho_vec)
-        # scale1 = [sigma*1_n ; rho] — the fused operator takes rho.*z - y
-        scale1 = jnp.concatenate([sigma_n, c.rho_vec], axis=-1)
-        s_new, yp_new, stats = admm_chunk(
-            c.factor["W"], P, A, qv, scale1, rhoip, rhop, lp, up, c.s, c.yp,
-            alpha=alpha, seg=seg, backend=backend, tile=tile,
-        )
+        if structured:
+            s_new, yp_new, stats = chunk_structured(c.factor, c.rho_vec, c.s, c.yp)
+        else:
+            rhop, rhoip = padded_rho(c.rho_vec)
+            # scale1 = [sigma*1_n ; rho] — the fused operator takes rho.*z - y
+            scale1 = jnp.concatenate([sigma_n, c.rho_vec], axis=-1)
+            s_new, yp_new, stats = admm_chunk(
+                c.factor["W"], P, A, qv, scale1, rhoip, rhop, lp, up, c.s, c.yp,
+                alpha=alpha, seg=seg, backend=backend, tile=tile,
+            )
         if use_aa:
             s_new, yp_new, stats, aa_new = _anderson_step(c, s_new, yp_new, stats)
             c = c._replace(aa=aa_new)
-        active = (~c.done) & (~c.failed)
+        active = (~c.done) & (~c.failed) & (c.infeas == 0)
+        if check > 0 and settings.check_infeasibility:
+            # OSQP §3.4: deltas between termination checks (qp.infeasibility)
+            from sqp_solver_tpu.qp.infeasibility import infeasibility_certificates
+
+            prim_inf, dual_inf = infeasibility_certificates(
+                P, A, q, l, u,
+                s_new[:, :n] - c.s[:, :n], yp_new[:, n:] - c.yp[:, n:],
+                settings.eps_pinf, settings.eps_dinf,
+            )
+            cert = jnp.where(prim_inf, 1, jnp.where(dual_inf, 2, 0)).astype(
+                jnp.int32
+            )
+            # the certified lane still commits THIS chunk's iterates/count
+            # (matching the per-problem tier, which detects after the
+            # chunk ran); only future chunks are masked off
+            c = c._replace(infeas=jnp.where(active & (cert > 0), cert, c.infeas))
         s = jnp.where(active[:, None], s_new, c.s)
         yp = jnp.where(active[:, None], yp_new, c.yp)
         k = c.k + seg
@@ -313,10 +366,16 @@ def qp_solve_fused(
         return c
 
     def cond(c: _Carry):
-        return jnp.any((~c.done) & (~c.failed)) & (c.k < settings.max_iter)
+        return jnp.any((~c.done) & (~c.failed) & (c.infeas == 0)) & (
+            c.k < settings.max_iter
+        )
 
     factor0 = solver.factor(P, A, sigma, rho_vec0)
-    failed0 = jnp.isnan(factor0["W"]).any(axis=(-1, -2))
+    failed0 = (
+        factor0["diag_nan"]
+        if structured
+        else jnp.isnan(factor0["W"]).any(axis=(-1, -2))
+    )
     zeros_b = jnp.zeros((B,), dtype)
     init = _Carry(
         s=jnp.concatenate([x0, z0], axis=-1),
@@ -337,19 +396,13 @@ def qp_solve_fused(
         rho_estimate=jnp.full((B,), settings.rho, dtype),
         # reference counts the setup rho_vec_update too (src/qp.cpp:34)
         rho_updates=jnp.ones((B,), jnp.int32),
-        aa=(
-            dict(
-                dU=jnp.zeros((B, m_aa, D2), dtype),
-                dF=jnp.zeros((B, m_aa, D2), dtype),
-                uT_prev=jnp.zeros((B, D2), dtype),
-                f_prev=jnp.zeros((B, D2), dtype),
-                prev_ok=jnp.zeros((B,), jnp.bool_),
-                pairs=jnp.zeros((B,), jnp.int32),
-            )
-            if use_aa
-            else None
-        ),
+        infeas=jnp.zeros((B,), jnp.int32),
+        aa=None,
     )
+    if use_aa:
+        from sqp_solver_tpu.qp.anderson import anderson_init
+
+        init = init._replace(aa=anderson_init((B,), m_aa, D2, dtype))
 
     if settings.schedule == "fixed":
         # static fori over ceil(max_iter/seg) chunks: no dynamic loop
@@ -362,7 +415,19 @@ def qp_solve_fused(
     status = jnp.where(
         final.failed,
         QPStatus.NUMERICAL_ISSUES,
-        jnp.where(final.done, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED),
+        jnp.where(
+            final.done,
+            QPStatus.SOLVED,
+            jnp.where(
+                final.infeas == 1,
+                QPStatus.PRIMAL_INFEASIBLE,
+                jnp.where(
+                    final.infeas == 2,
+                    QPStatus.DUAL_INFEASIBLE,
+                    QPStatus.MAX_ITER_EXCEEDED,
+                ),
+            ),
+        ),
     ).astype(jnp.int32)
     info = QPInfo(
         status=status,

@@ -333,8 +333,16 @@ def _rescore_impl(problem, result, settings):
     )
     solved = (res_prim <= eps_prim) & (res_dual <= eps_dual)
     old = result.info.status
+    # NUMERICAL_ISSUES and the infeasibility certificates pass through:
+    # a certificate of the scaled problem certifies the original (the
+    # certificate vector transforms by the same diagonal scaling)
+    passthrough = (
+        (old == QPStatus.NUMERICAL_ISSUES)
+        | (old == QPStatus.PRIMAL_INFEASIBLE)
+        | (old == QPStatus.DUAL_INFEASIBLE)
+    )
     status = jnp.where(
-        old == QPStatus.NUMERICAL_ISSUES,
+        passthrough,
         old,
         jnp.where(solved, QPStatus.SOLVED, QPStatus.MAX_ITER_EXCEEDED),
     ).astype(jnp.int32)

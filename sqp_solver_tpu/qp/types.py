@@ -27,13 +27,17 @@ __all__ = [
 
 class QPStatus(enum.IntEnum):
     """Solver status codes (int-coded so they vmap; same order as the
-    reference enum at ``include/solvers/qp.hpp:70``)."""
+    reference enum at ``include/solvers/qp.hpp:70``, extended with the
+    OSQP-paper §3.4 infeasibility certificates — the reference can only
+    hit MAX_ITER_EXCEEDED on an infeasible problem, src/qp.cpp:147-149)."""
 
     SOLVED = 0
     MAX_ITER_EXCEEDED = 1
     UNSOLVED = 2
     NUMERICAL_ISSUES = 3
     UNINITIALIZED = 4
+    PRIMAL_INFEASIBLE = 5
+    DUAL_INFEASIBLE = 6
 
 
 @jax.tree_util.register_dataclass
@@ -136,6 +140,16 @@ class QPSettings:
     # per-problem, vmap and fused tiers (not the whole-solve kernel).
     acceleration: str = "none"
     anderson_memory: int = 4
+    # OSQP §3.4 infeasibility detection from the ADMM iterate deltas at
+    # termination-check cadence: a delta-y satisfying the primal
+    # certificate conditions proves l <= Ax <= u is infeasible; a delta-x
+    # satisfying the dual conditions proves the objective is unbounded
+    # below on the feasible set.  Statuses PRIMAL_INFEASIBLE /
+    # DUAL_INFEASIBLE.  The reference has no analog (it can only hit
+    # MAX_ITER_EXCEEDED on infeasible problems, src/qp.cpp:147-149).
+    check_infeasibility: bool = True
+    eps_pinf: float = 1e-4
+    eps_dinf: float = 1e-4
 
     def validate(self) -> None:
         if not (self.rho > 0):
@@ -173,6 +187,8 @@ class QPSettings:
             raise ValueError(
                 f"anderson_memory must be > 0, got {self.anderson_memory}"
             )
+        if not (self.eps_pinf > 0 and self.eps_dinf > 0):
+            raise ValueError("eps_pinf/eps_dinf must be > 0")
 
 
 @jax.tree_util.register_dataclass

@@ -139,6 +139,12 @@ class SQPSettings:
         warm_start=True,
         adaptive_rho=True,
         adaptive_rho_interval=50,
+        # infeasibility certificates are off for SQP subproblems: BFGS
+        # subproblems are convex with shifted linearized bounds, transient
+        # certificates would only cut the inner budget, and the fused
+        # SQP-step kernel does not evaluate them — keeping the default
+        # off keeps all three tiers trajectory-identical
+        check_infeasibility=False,
     )
     qp_warm_start: bool = True
     qp_impl: str = "fused"

@@ -118,3 +118,72 @@ class TestReferenceSparsePort:
         Ax = np.asarray(qp2.A) @ np.asarray(res2.x)
         assert (Ax - np.asarray(qp2.l)).min() > -1e-3
         assert (Ax - np.asarray(qp2.u)).max() < 1e-3
+
+
+class TestStructuredFusedTier:
+    """schur_block_tridiag on the FUSED tier (VERDICT round-2 item 3):
+    the structured backend runs inside the fixed-schedule batch-explicit
+    loop (XLA chunk with vmapped block-Thomas sweeps), so MPC configs
+    stop paying the vmap tier's per-condition host-sync floor."""
+
+    def test_fused_structured_matches_vmap_structured(self):
+        import dataclasses
+
+        from sqp_solver_tpu.parallel.batch import qp_solve_batch
+
+        qp, b = mpc_qp_stagewise_batch(4, horizon=12, dtype=jnp.float64)
+        s = QPSettings(
+            eps_abs=1e-8, eps_rel=1e-8, max_iter=2000, adaptive_rho=True,
+            linear_solver="schur_block_tridiag", block_size=b,
+        )
+        ref = qp_solve_batch(qp, s, impl="vmap")
+        out = qp_solve_batch(qp, s, impl="fused")
+        np.testing.assert_array_equal(
+            np.asarray(ref.info.status), np.asarray(out.info.status)
+        )
+        assert (np.asarray(out.info.status) == 0).all()
+        np.testing.assert_allclose(
+            np.asarray(out.x), np.asarray(ref.x), atol=1e-6
+        )
+
+    def test_fused_structured_fixed_schedule(self):
+        """schedule='fixed' + structured backend: zero dynamic loop
+        conditions (the production configuration for the bench)."""
+        qp, b = mpc_qp_stagewise_batch(3, horizon=8, dtype=jnp.float64)
+        s = QPSettings(
+            eps_abs=1e-7, eps_rel=1e-7, max_iter=500, adaptive_rho=True,
+            linear_solver="schur_block_tridiag", block_size=b,
+            schedule="fixed",
+        )
+        from sqp_solver_tpu.qp.admm_batched import qp_solve_fused
+
+        out = qp_solve_fused(qp, s)
+        assert (np.asarray(out.info.status) == 0).all()
+        # accuracy vs the dense fused path
+        s_dense = QPSettings(eps_abs=1e-7, eps_rel=1e-7, max_iter=500,
+                             adaptive_rho=True, schedule="fixed")
+        ref = qp_solve_fused(qp, s_dense)
+        np.testing.assert_allclose(
+            np.asarray(out.x), np.asarray(ref.x), atol=1e-5
+        )
+
+    def test_fused_structured_with_anderson(self):
+        """Anderson acceleration composes with the structured fused path."""
+        import dataclasses
+
+        qp, b = mpc_qp_stagewise_batch(3, horizon=8, dtype=jnp.float64)
+        s = QPSettings(
+            eps_abs=1e-8, eps_rel=1e-8, max_iter=2000, adaptive_rho=False,
+            linear_solver="schur_block_tridiag", block_size=b,
+            acceleration="anderson",
+        )
+        from sqp_solver_tpu.qp.admm_batched import qp_solve_fused
+
+        out = qp_solve_fused(qp, s)
+        plain = qp_solve_fused(qp, dataclasses.replace(s, acceleration="none"))
+        assert (np.asarray(out.info.status) == 0).all()
+        # AA must not be slower in iterations (safeguarded)
+        assert np.asarray(out.info.iter).mean() <= np.asarray(plain.info.iter).mean()
+        np.testing.assert_allclose(
+            np.asarray(out.x), np.asarray(plain.x), atol=1e-5
+        )
