@@ -355,6 +355,105 @@ def _factor_schur(P, A, rho_vec, sigma, eye_n):
     return Minv, fail
 
 
+def _factor_schur_refs(
+    P_ref, A, rho_vec, sigma, at_ref, w_ref, lt_ref, lr_ref, li_ref,
+    cb=_FACTOR_BLOCK,
+):
+    """Ref-based Minv construction — the fast path.
+
+    Same math as :func:`_factor_schur` (Gram + panel-blocked Cholesky +
+    row-wise triangular inverse + LᵀL), but every column/row access that
+    the value-based version emulates with masked-iota extractions (a full
+    array pass each) is a Mosaic dynamic ref index (free address
+    arithmetic): columns of L live at ``lt_ref[j]``, rows at
+    ``lr_ref[:, j]``-scattered storage, the Gram contraction reads
+    ``at_ref[i]`` rows.  Measured (scripts/fbench.py): the masked-iota
+    version runs ~6x above the VPU FLOP bound; this form removes the
+    extraction/write passes entirely.
+
+    ``P_ref`` is a REF (dynamic row reads); ``A`` a value.  Scratch refs:
+    ``at_ref (n, m, TL)``, ``w_ref (n, n, TL)`` (M, destroyed),
+    ``lt_ref (n, n, TL)`` (L columns at [j]), ``lr_ref`` (L rows at [i]),
+    ``li_ref`` (L^-1 rows at [i]).  Returns (Minv value, fail (1, TL)).
+    """
+    m, n, TL = A.shape
+    dtype = A.dtype
+
+    # ---- M = P + sigma I + A' R A, row by row --------------------------
+    at_ref[...] = jnp.swapaxes(A, 0, 1)
+    SA = A * rho_vec[:, None, :]  # (m, n, TL)
+    iota_col = lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
+
+    def m_row(i, _):
+        a_i = at_ref[i]  # (m, TL)
+        contrib = jnp.sum(a_i[:, None, :] * SA, axis=0)  # (n, TL) FMA pass
+        e_i = (iota_col == i).astype(dtype)
+        w_ref[i] = P_ref[i] + sigma * e_i + contrib
+        return 0
+
+    lax.fori_loop(0, n, m_row, 0)
+
+    # ---- panel-blocked Cholesky into lt (columns) + lr (rows) ----------
+    fail = jnp.zeros((1, TL), dtype)
+    for r0 in range(0, n, cb):
+        b = min(cb, n - r0)
+        nb = n - r0
+        Pan = w_ref[r0:n, r0 : r0 + b]  # (nb, b, TL) value
+        cols_i = lax.broadcasted_iota(jnp.int32, (nb, b, 1), 1)
+        rows_i = lax.broadcasted_iota(jnp.int32, (nb, 1), 0)
+
+        def col_step(j, carry, r0=r0, b=b, cols_i=cols_i, rows_i=rows_i):
+            Pan, fail = carry
+            colj = jnp.sum(Pan * (cols_i == j).astype(dtype), axis=1)  # (nb, TL)
+            dj = jnp.sum(colj * (rows_i == j).astype(dtype), axis=0, keepdims=True)
+            fail = jnp.maximum(fail, ((dj <= 0.0) | jnp.isnan(dj)).astype(dtype))
+            djc = jnp.maximum(dj, 1e-30)
+            lcol = jnp.where(rows_i > j, colj * lax.rsqrt(djc), 0.0) + jnp.where(
+                rows_i == j, jnp.sqrt(djc), 0.0
+            )
+            Pan = Pan - lcol[:, None, :] * lcol[:b][None, :, :]
+            if r0:
+                full = jnp.concatenate([jnp.zeros((r0, TL), dtype), lcol], axis=0)
+            else:
+                full = lcol
+            lt_ref[r0 + j] = full
+            lr_ref[:, r0 + j] = full  # row-scattered copy (sublane write)
+            return Pan, fail
+
+        Pan, fail = lax.fori_loop(0, b, col_step, (Pan, fail))
+
+        r = n - r0 - b
+        if r > 0:
+            T22 = w_ref[r0 + b : n, r0 + b : n]  # (r, r, TL) value
+
+            def upd(k, T22, r0=r0, b=b):
+                ct = lt_ref[r0 + k][r0 + b :]  # (r, TL)
+                return T22 - ct[:, None, :] * ct[None, :, :]
+
+            T22 = lax.fori_loop(0, b, upd, T22)
+            w_ref[r0 + b : n, r0 + b : n] = T22
+
+    # ---- Li rows + Minv = Li'Li accumulated rank-1 ---------------------
+    # stale rows k >= i in li_ref are masked by the strict k < i prefix,
+    # but first use would read uninitialized VMEM (NaN x 0 = NaN): zero it
+    li_ref[...] = jnp.zeros((n, n, TL), dtype)
+
+    def inv_row(i, Minv):
+        lrow = lr_ref[i]  # (n, TL): L[i, :] (zeros beyond the diagonal)
+        ljj = jnp.sum(
+            lrow * (iota_col == i).astype(dtype), axis=0, keepdims=True
+        )
+        lrow_strict = jnp.where(iota_col < i, lrow, 0.0)
+        acc = jnp.sum(lrow_strict[:, None, :] * li_ref[...], axis=0)  # (n, TL)
+        e_i = (iota_col == i).astype(dtype)
+        row_i = (e_i - acc) / jnp.maximum(ljj, 1e-30)
+        li_ref[i] = row_i
+        return Minv + row_i[:, None, :] * row_i[None, :, :]
+
+    Minv = lax.fori_loop(0, n, inv_row, jnp.zeros((n, n, TL), dtype))
+    return Minv, fail
+
+
 def _rho_from(rho_scalar, loose, equality):
     """Per-constraint rho from classification masks (src/qp.cpp:284-314)."""
     return jnp.where(
