@@ -356,8 +356,7 @@ def _factor_schur(P, A, rho_vec, sigma, eye_n):
 
 
 def _factor_schur_refs(
-    P_ref, A, rho_vec, sigma, at_ref, w_ref, lt_ref, lr_ref, li_ref,
-    cb=_FACTOR_BLOCK,
+    p_row, A_col, SA, sigma, w_ref, l_ref, li_ref, cb=_FACTOR_BLOCK,
 ):
     """Ref-based Minv construction — the fast path.
 
@@ -365,35 +364,33 @@ def _factor_schur_refs(
     row-wise triangular inverse + LᵀL), but every column/row access that
     the value-based version emulates with masked-iota extractions (a full
     array pass each) is a Mosaic dynamic ref index (free address
-    arithmetic): columns of L live at ``lt_ref[j]``, rows at
-    ``lr_ref[:, j]``-scattered storage, the Gram contraction reads
-    ``at_ref[i]`` rows.  Measured (scripts/fbench.py): the masked-iota
-    version runs ~6x above the VPU FLOP bound; this form removes the
-    extraction/write passes entirely.
+    arithmetic).  Measured (scripts/fbench_c.py, n=128 TL=128 B=1024):
+    Gram 19.4 -> 1.9 ms, Cholesky 4.0 -> 1.7 ms, inverse+LtL 6.9 -> 3.9
+    ms per sweep — ~4x overall.
 
-    ``P_ref`` is a REF (dynamic row reads); ``A`` a value.  Scratch refs:
-    ``at_ref (n, m, TL)``, ``w_ref (n, n, TL)`` (M, destroyed),
-    ``lt_ref (n, n, TL)`` (L columns at [j]), ``lr_ref`` (L rows at [i]),
-    ``li_ref`` (L^-1 rows at [i]).  Returns (Minv value, fail (1, TL)).
+    ``p_row(i) -> (n, TL)`` and ``A_col(i) -> (m, TL)`` are row/column
+    sources (dynamic ref reads — the caller wires its input ref or a
+    scratch stash); ``SA = A * rho`` is a value.  Scratch refs, (n, n,
+    TL) each: ``w_ref`` (M during Cholesky, then Minv — its final
+    content IS the result), ``l_ref`` (L), ``li_ref`` (L^-1; the caller
+    may stash P here during the M build via ``p_row`` — it is zeroed
+    before the inverse loop).  Returns ``(Minv value, fail (1, TL))``.
     """
-    m, n, TL = A.shape
-    dtype = A.dtype
-
-    # ---- M = P + sigma I + A' R A, row by row --------------------------
-    at_ref[...] = jnp.swapaxes(A, 0, 1)
-    SA = A * rho_vec[:, None, :]  # (m, n, TL)
+    m, n, TL = SA.shape
+    dtype = SA.dtype
     iota_col = lax.broadcasted_iota(jnp.int32, (n, 1), 0)  # (n, 1)
 
+    # ---- M = P + sigma I + A' R A, row by row --------------------------
     def m_row(i, _):
-        a_i = at_ref[i]  # (m, TL)
+        a_i = A_col(i)  # (m, TL): column i of A
         contrib = jnp.sum(a_i[:, None, :] * SA, axis=0)  # (n, TL) FMA pass
         e_i = (iota_col == i).astype(dtype)
-        w_ref[i] = P_ref[i] + sigma * e_i + contrib
+        w_ref[i] = p_row(i) + sigma * e_i + contrib
         return 0
 
     lax.fori_loop(0, n, m_row, 0)
 
-    # ---- panel-blocked Cholesky into lt (columns) + lr (rows) ----------
+    # ---- panel-blocked Cholesky into l_ref -----------------------------
     fail = jnp.zeros((1, TL), dtype)
     for r0 in range(0, n, cb):
         b = min(cb, n - r0)
@@ -416,9 +413,8 @@ def _factor_schur_refs(
                 full = jnp.concatenate([jnp.zeros((r0, TL), dtype), lcol], axis=0)
             else:
                 full = lcol
-            lt_ref[r0 + j] = full
-            lr_ref[:, r0 + j] = full  # row-scattered copy (sublane write)
-            return Pan, fail
+            l_ref[:, r0 + j] = full  # plain (n, n) storage: rows at [i],
+            return Pan, fail         # columns at [:, j] — both dynamic
 
         Pan, fail = lax.fori_loop(0, b, col_step, (Pan, fail))
 
@@ -427,31 +423,37 @@ def _factor_schur_refs(
             T22 = w_ref[r0 + b : n, r0 + b : n]  # (r, r, TL) value
 
             def upd(k, T22, r0=r0, b=b):
-                ct = lt_ref[r0 + k][r0 + b :]  # (r, TL)
+                ct = l_ref[:, r0 + k][r0 + b :]  # (r, TL)
                 return T22 - ct[:, None, :] * ct[None, :, :]
 
             T22 = lax.fori_loop(0, b, upd, T22)
             w_ref[r0 + b : n, r0 + b : n] = T22
 
-    # ---- Li rows + Minv = Li'Li accumulated rank-1 ---------------------
-    # stale rows k >= i in li_ref are masked by the strict k < i prefix,
-    # but first use would read uninitialized VMEM (NaN x 0 = NaN): zero it
+    # ---- Li rows into li_ref -------------------------------------------
+    # stale rows k >= i are masked by the strict k < i prefix, but the
+    # first use would read uninitialized VMEM (NaN x 0 = NaN) — and the
+    # caller may have stashed P here: zero it
     li_ref[...] = jnp.zeros((n, n, TL), dtype)
 
-    def inv_row(i, Minv):
-        lrow = lr_ref[i]  # (n, TL): L[i, :] (zeros beyond the diagonal)
-        ljj = jnp.sum(
-            lrow * (iota_col == i).astype(dtype), axis=0, keepdims=True
-        )
+    def inv_row(i, _):
+        lrow = l_ref[i]  # (n, TL): L[i, :] (zeros beyond the diagonal)
+        ljj = jnp.sum(lrow * (iota_col == i).astype(dtype), axis=0, keepdims=True)
         lrow_strict = jnp.where(iota_col < i, lrow, 0.0)
         acc = jnp.sum(lrow_strict[:, None, :] * li_ref[...], axis=0)  # (n, TL)
         e_i = (iota_col == i).astype(dtype)
-        row_i = (e_i - acc) / jnp.maximum(ljj, 1e-30)
-        li_ref[i] = row_i
-        return Minv + row_i[:, None, :] * row_i[None, :, :]
+        li_ref[i] = (e_i - acc) / jnp.maximum(ljj, 1e-30)
+        return 0
 
-    Minv = lax.fori_loop(0, n, inv_row, jnp.zeros((n, n, TL), dtype))
-    return Minv, fail
+    lax.fori_loop(0, n, inv_row, 0)
+
+    # ---- Minv = Li'Li, row by row, into w_ref --------------------------
+    def ltl_row(i, _):
+        col_i = li_ref[:, i]  # (n, TL): Li[:, i]
+        w_ref[i] = jnp.sum(col_i[:, None, :] * li_ref[...], axis=0)
+        return 0
+
+    lax.fori_loop(0, n, ltl_row, 0)
+    return w_ref[...], fail
 
 
 def _rho_from(rho_scalar, loose, equality):
@@ -465,7 +467,7 @@ def _admm_core(
     P, A, q, l, u, x, z, y, done, failv, rho, Minv, pending,
     *, sigma, alpha, eps_abs, eps_rel, n_epochs, chunks_per_epoch, seg,
     adaptive_rho, adaptive_rho_tolerance, eye_n, loose, equality,
-    check_infeas=False, eps_pinf=1e-4, eps_dinf=1e-4,
+    check_infeas=False, eps_pinf=1e-4, eps_dinf=1e-4, factor_fn=None,
 ):
     """The whole ADMM solve for one lane tile, in transposed layout.
 
@@ -580,9 +582,11 @@ def _admm_core(
         # epochs (converged tile / stable rho) cost one scalar predicate
         def do_factor(args):
             Minv_old, fail_old, cnt = args
-            Minv_new, f = _factor_schur(
-                P, A, _rho_from(rho, loose, equality), sigma, eye_n
-            )
+            rv = _rho_from(rho, loose, equality)
+            if factor_fn is not None:
+                Minv_new, f = factor_fn(rv)
+            else:
+                Minv_new, f = _factor_schur(P, A, rv, sigma, eye_n)
             act_f = (1.0 - done) * (1.0 - fail_old)
             return Minv_new, jnp.maximum(fail_old, f * act_f), cnt + 1.0
 
@@ -677,7 +681,7 @@ def _admm_core(
 
 def _qp_kernel(
     P_ref, A_ref, q_ref, l_ref, u_ref, x_ref, z_ref, y_ref,
-    xo_ref, zo_ref, yo_ref, st_ref,
+    xo_ref, zo_ref, yo_ref, st_ref, fw_ref, fl_ref, fi_ref,
     *, n, m, sigma, alpha, rho0, eps_abs, eps_rel,
     n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
     check_infeas, eps_pinf, eps_dinf,
@@ -689,6 +693,16 @@ def _qp_kernel(
     l = l_ref[:]          # (m, TL)
     u = u_ref[:]          # (m, TL)
     TL = q.shape[-1]
+
+    def factor_fn(rho_vec):
+        # ref-based factorization (see _factor_schur_refs: ~4x the
+        # masked-iota path); P rows and A columns read from the input refs
+        return _factor_schur_refs(
+            lambda r: P_ref[r],
+            lambda c: A_ref[:, c],
+            A * rho_vec[:, None, :],
+            sigma, fw_ref, fl_ref, fi_ref,
+        )
 
     row_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 0)
     col_i = lax.broadcasted_iota(jnp.int32, (n, n, 1), 1)
@@ -720,6 +734,7 @@ def _qp_kernel(
         adaptive_rho_tolerance=adaptive_rho_tolerance,
         eye_n=eye_n, loose=loose, equality=equality,
         check_infeas=check_infeas, eps_pinf=eps_pinf, eps_dinf=eps_dinf,
+        factor_fn=factor_fn,
     )
     x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd = ec[:11]
 
@@ -766,6 +781,9 @@ def _sqp_step_kernel(
         (B_ref, J_ref, g_ref, l_ref, u_ref, s_ref, dgl_ref, msk_ref,
          x_ref, z_ref, y_ref) = refs[: 11]
         out_refs = refs[11:]
+    # 3 factor scratch refs trail the positional outputs
+    fw_ref, fl_ref, fi_ref = out_refs[-3:]
+    out_refs = out_refs[:-3]
     if out_minv:
         po_ref, zo_ref, yo_ref, Bo_ref, st_ref, mo_ref = out_refs
     else:
@@ -817,6 +835,17 @@ def _sqp_step_kernel(
     zero_row = jnp.zeros((1, TL), dtype)
     nfact0 = zero_row
 
+    def sqp_factor(Bc, rho_vec):
+        # stash the Hessian in the Li scratch for dynamic row reads (it
+        # is zeroed by _factor_schur_refs only AFTER the M build read it)
+        fi_ref[...] = Bc
+        return _factor_schur_refs(
+            lambda r: fi_ref[r],
+            lambda c: J_ref[:, c],
+            A * rho_vec[:, None, :],
+            sigma, fw_ref, fl_ref, fi_ref,
+        )
+
     if in_minv:
         # SOC re-solve: same (B, J), new bounds — reuse the carried-in
         # factor and rho (reference TODO src/sqp.cpp:273)
@@ -831,7 +860,7 @@ def _sqp_step_kernel(
         # initial factor (outside the core, so a pivot failure can repair
         # B before the solve) — skipped when the whole tile is inactive;
         # attempt 2 re-factors with B := I on failed lanes (the posdef
-        # fallback).  One fori over attempts keeps a SINGLE _factor_schur
+        # fallback).  One fori over attempts keeps a SINGLE factorization
         # instance in the kernel body — a second inlined instance raised
         # the Mosaic compile time ~50% at n=128.
         def attempt(i, carry):
@@ -839,7 +868,7 @@ def _sqp_step_kernel(
 
             def do(args):
                 Minv_old, f_old, cnt = args
-                Minv_new, fn = _factor_schur(Bc, A, rho_vec0, sigma, eye_n)
+                Minv_new, fn = sqp_factor(Bc, rho_vec0)
                 return Minv_new, fn, cnt + 1.0
 
             Minv, f, nfact = lax.cond(need, do, lambda a: a, (Minv, f, nfact))
@@ -870,6 +899,7 @@ def _sqp_step_kernel(
         adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance,
         eye_n=eye_n, loose=loose, equality=equality,
+        factor_fn=lambda rv: sqp_factor(Bn, rv),
     )
     x, z, y, done, failv, itc, rho_f, rho_upd, rho_est, rp, rd = ec[:11]
     nfact = nfact0 + ec[15]
@@ -941,6 +971,11 @@ def _sqp_step_call(
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, lane_tile), gt.dtype),  # factor work/Minv
+            pltpu.VMEM((n, n, lane_tile), gt.dtype),  # L
+            pltpu.VMEM((n, n, lane_tile), gt.dtype),  # L^-1 / B stash
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         cost_estimate=pl.CostEstimate(
@@ -1072,6 +1107,11 @@ def _qp_kernel_call(
             jax.ShapeDtypeStruct((m, B), qt.dtype),
             jax.ShapeDtypeStruct((8, B), qt.dtype),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, lane_tile), qt.dtype),  # factor work/Minv
+            pltpu.VMEM((n, n, lane_tile), qt.dtype),  # L
+            pltpu.VMEM((n, n, lane_tile), qt.dtype),  # L^-1
+        ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         cost_estimate=pl.CostEstimate(
