@@ -79,15 +79,15 @@ def main():
         def body(i, acc):
             rho_k = rho * (1.0 + 1e-3 * i.astype(dtype))
             SA = A * rho_k[:, None, :]
-            Minv, _ = _factor_schur_refs(
+            _ = _factor_schur_refs(
                 lambda r: P_ref[r],
                 lambda c: A_ref[:, c],
                 SA, 1e-6, w_ref, l_ref, li_ref,
             )
             if full:
-                out_ref[...] = Minv
+                out_ref[...] = w_ref[...]
                 return acc
-            return acc + jnp.sum(Minv, axis=1)
+            return acc + jnp.sum(w_ref[...], axis=1)
 
         acc = lax.fori_loop(0, K, body, jnp.zeros((n, TL), dtype))
         if not full:

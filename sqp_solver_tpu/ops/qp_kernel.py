@@ -453,7 +453,11 @@ def _factor_schur_refs(
         return 0
 
     lax.fori_loop(0, n, ltl_row, 0)
-    return w_ref[...], fail
+    # the result LIVES in w_ref — callers read it (or FMA against it)
+    # in place; materializing it as a return value would add an 8 MB
+    # live array to every enclosing loop carry (measured: ~74 MB of
+    # register-allocator spill slots at n=128, a VMEM OOM)
+    return fail
 
 
 def _rho_from(rho_scalar, loose, equality):
@@ -464,10 +468,11 @@ def _rho_from(rho_scalar, loose, equality):
 
 
 def _admm_core(
-    P, A, q, l, u, x, z, y, done, failv, rho, Minv, pending,
+    P, A, q, l, u, x, z, y, done, failv, rho, minv_ref, pending,
     *, sigma, alpha, eps_abs, eps_rel, n_epochs, chunks_per_epoch, seg,
     adaptive_rho, adaptive_rho_tolerance, eye_n, loose, equality,
-    check_infeas=False, eps_pinf=1e-4, eps_dinf=1e-4, factor_fn=None,
+    factor_fn, check_infeas=False, eps_pinf=1e-4, eps_dinf=1e-4,
+    use_aa=False, aa_mem=4,
 ):
     """The whole ADMM solve for one lane tile, in transposed layout.
 
@@ -549,11 +554,13 @@ def _admm_core(
         max_Px_ATy_q = jnp.maximum(linf(Px), jnp.maximum(linf(ATy), linf(q)))
         return res_prim, res_dual, max_Ax_z, max_Px_ATy_q
 
-    def admm_iter(x, z, y, Minv, rho_vec):
+    def admm_iter(x, z, y, rho_vec):
         rho_inv = 1.0 / rho_vec
         rhs2 = rho_vec * z - y  # (m, TL)
         b = sigma * x - q + jnp.sum(A * rhs2[:, None, :], axis=0)  # (n, TL)
-        xt = jnp.sum(Minv * b[None, :, :], axis=1)  # (n, TL)
+        # Minv is read from its scratch ref in place — never a loop-
+        # carried value (see _factor_schur_refs return-value note)
+        xt = jnp.sum(minv_ref[...] * b[None, :, :], axis=1)  # (n, TL)
         zt = _mm_t(A, xt[None, :, :])  # (m, TL)
         xn = alpha * xt + (1.0 - alpha) * x
         z_pre = alpha * zt + (1.0 - alpha) * z
@@ -563,9 +570,86 @@ def _admm_core(
 
     nfact = jnp.zeros((1, TL), dtype)
 
+    n = q.shape[0]
+    m = l.shape[0]
+    D2 = n + 2 * m
+    if use_aa:
+        # ---- in-kernel safeguarded type-II Anderson acceleration ------
+        # Same scheme as qp/anderson.py (difference ring buffers,
+        # Levenberg-regularized k x k normal equations, termination-
+        # aligned accept guard), per lane, at chunk granularity.  The
+        # k x k solve is a statically-unrolled Gauss-Jordan on (k, k, TL)
+        # slabs; everything else is elementwise rows.  Overhead per chunk
+        # ~ one extra stats evaluation + O(k^2 D2 / 8) cycles — small
+        # against seg ADMM iterations.
+        zrow_d2 = 0.0 * jnp.concatenate([q, l, u], axis=0)  # lane-varying 0s
+        iota_k3 = lax.broadcasted_iota(jnp.int32, (aa_mem, 1, 1), 0)
+        iota_k2 = lax.broadcasted_iota(jnp.int32, (aa_mem, 1), 0)
+        eye_k3 = (
+            lax.broadcasted_iota(jnp.int32, (aa_mem, aa_mem, 1), 0)
+            == lax.broadcasted_iota(jnp.int32, (aa_mem, aa_mem, 1), 1)
+        ).astype(dtype)
+        k_f = jnp.asarray(float(aa_mem), dtype)
+
+        def aa_init():
+            return (
+                zrow_d2[None] * jnp.ones((aa_mem, 1, 1), dtype),  # dU
+                zrow_d2[None] * jnp.ones((aa_mem, 1, 1), dtype),  # dF
+                zrow_d2,  # uT_prev
+                zrow_d2,  # f_prev
+                jnp.zeros((1, TL), dtype),  # prev_ok (0/1)
+                jnp.zeros((1, TL), dtype),  # pairs
+            )
+
+        def aa_step(aa, x, z, y, xn, zn, yn):
+            dU, dF, uT_prev, f_prev, prev_ok, pairs = aa
+            u_in = jnp.concatenate([x, z, y], axis=0)
+            u_T = jnp.concatenate([xn, zn, yn], axis=0)
+            f = u_T - u_in
+            gate = prev_ok[None, :, :]  # (1, 1, TL)
+            rolledU = jnp.roll(dU, -1, axis=0).at[-1].set(u_T - uT_prev)
+            rolledF = jnp.roll(dF, -1, axis=0).at[-1].set(f - f_prev)
+            dU = gate * rolledU + (1.0 - gate) * dU
+            dF = gate * rolledF + (1.0 - gate) * dF
+            pairs = jnp.minimum(pairs + prev_ok, k_f)
+            # newest pairs at the end of the ring
+            valid = (
+                iota_k3.astype(dtype) + pairs[None, :, :] >= k_f
+            ).astype(dtype)  # (k, 1, TL)
+            dFm = dF * valid
+            dUm = dU * valid
+            G = jnp.sum(dFm[:, None, :, :] * dFm[None, :, :, :], axis=2)
+            trace = jnp.sum(
+                jnp.sum(G * eye_k3, axis=1), axis=0, keepdims=True
+            )  # (1, TL)
+            reg = 1e-8 * (trace + 1.0)
+            G = G + eye_k3 * (reg[None, :, :] + (1.0 - valid))
+            rhs = jnp.sum(dFm * f[None, :, :], axis=1)  # (k, TL)
+            # statically-unrolled Gauss-Jordan: G becomes I, rhs -> gamma
+            for i in range(aa_mem):
+                piv = G[i : i + 1, i : i + 1, :]  # (1, 1, TL)
+                inv_piv = 1.0 / piv  # diagonal >= reg > 0
+                row_i = G[i : i + 1, :, :] * inv_piv  # (1, k, TL)
+                r_i = rhs[i : i + 1, :] * inv_piv[0]  # (1, TL)
+                not_i3 = (iota_k3 != i).astype(dtype)  # (k, 1, 1)
+                not_i2 = (iota_k2 != i).astype(dtype)  # (k, 1)
+                fac = G[:, i : i + 1, :] * not_i3
+                G = G - fac * row_i
+                rhs = rhs - fac[:, 0, :] * r_i
+                G = G * not_i3 + row_i * (1.0 - not_i3)
+                rhs = rhs * not_i2 + r_i * (1.0 - not_i2)
+            gamma = rhs  # (k, TL)
+            u_aa = u_T - jnp.sum(dUm * gamma[:, None, :], axis=0)
+            x_a = u_aa[:n]
+            z_a = jnp.clip(u_aa[n : n + m], l, u)  # keep the box invariant
+            y_a = u_aa[n + m :]
+            has_pairs = jnp.minimum(pairs, 1.0)  # (1, TL)
+            aa_new = (dU, dF, u_T, f, jnp.ones((1, TL), dtype), pairs)
+            return x_a, z_a, y_a, has_pairs, aa_new
+
     def epoch_body(ec):
         (x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-         pending, Minv, nfact, infs, e) = ec
+         pending, nfact, infs, aa, e) = ec
 
         # ADOPT a pending rho change only here, together with its
         # factorization: `rho` and `Minv` are then paired BY CONSTRUCTION
@@ -579,30 +663,30 @@ def _admm_core(
         rho = rho + adopt * (rho_est - rho)
 
         # factorize only if some still-active lane changed rho — skipped
-        # epochs (converged tile / stable rho) cost one scalar predicate
+        # epochs (converged tile / stable rho) cost one scalar predicate.
+        # NOTE: the refactor overwrites minv_ref for the WHOLE tile, so a
+        # done/failed lane's Minv changes too — harmless, its iterates
+        # are frozen and never consume Minv again.
         def do_factor(args):
-            Minv_old, fail_old, cnt = args
+            fail_old, cnt = args
             rv = _rho_from(rho, loose, equality)
-            if factor_fn is not None:
-                Minv_new, f = factor_fn(rv)
-            else:
-                Minv_new, f = _factor_schur(P, A, rv, sigma, eye_n)
+            f = factor_fn(rv)
             act_f = (1.0 - done) * (1.0 - fail_old)
-            return Minv_new, jnp.maximum(fail_old, f * act_f), cnt + 1.0
+            return jnp.maximum(fail_old, f * act_f), cnt + 1.0
 
-        Minv, failv, nfact = lax.cond(
+        failv, nfact = lax.cond(
             jnp.any(adopt > 0.0),
             do_factor,
             lambda args: args,
-            (Minv, failv, nfact),
+            (failv, nfact),
         )
         rho_vec_e = _rho_from(rho, loose, equality)
 
         def chunk_body(cc):
-            x, z, y, done, itc, rp, rd, mz, mq, infs, ci = cc
+            x, z, y, done, itc, rp, rd, mz, mq, infs, aa, ci = cc
 
             def it(_, xzy):
-                return admm_iter(*xzy, Minv, rho_vec_e)
+                return admm_iter(*xzy, rho_vec_e)
 
             xn, zn, yn = lax.fori_loop(0, seg, it, (x, z, y))
             act = (done == 0.0) & (failv == 0.0) & (infs == 0.0)
@@ -611,10 +695,38 @@ def _admm_core(
                 # certified lanes still commit this chunk (matching the
                 # XLA tiers); only future chunks are masked off
                 infs = jnp.where(act & (cert > 0.0), cert, infs)
-            x = jnp.where(act, xn, x)
-            z = jnp.where(act, zn, z)
-            y = jnp.where(act, yn, y)
-            res_prim, res_dual, max_Ax_z, max_Px_ATy_q = stats(x, z, y)
+            if use_aa:
+                x_a, z_a, y_a, has_pairs, aa = aa_step(aa, x, z, y, xn, zn, yn)
+                sp = stats(xn, zn, yn)
+                sa = stats(x_a, z_a, y_a)
+                tiny_aa = 1e-30
+                comb = lambda s: s[0] / (s[2] + tiny_aa) + s[1] / (s[3] + tiny_aa)
+                term = lambda s: (s[0] <= eps_abs + eps_rel * s[2]) & (
+                    s[1] <= eps_abs + eps_rel * s[3]
+                )
+                comb_a = comb(sa)
+                accept = (
+                    (has_pairs > 0.0)
+                    & jnp.isfinite(comb_a)
+                    & (comb_a < comb(sp))
+                    & (term(sa) | ~term(sp))
+                )
+                xn = jnp.where(accept, x_a, xn)
+                zn = jnp.where(accept, z_a, zn)
+                yn = jnp.where(accept, y_a, yn)
+                sel = tuple(jnp.where(accept, a, p) for a, p in zip(sa, sp))
+                x = jnp.where(act, xn, x)
+                z = jnp.where(act, zn, z)
+                y = jnp.where(act, yn, y)
+                res_prim, res_dual, max_Ax_z, max_Px_ATy_q = (
+                    jnp.where(act, s_new, s_old)
+                    for s_new, s_old in zip(sel, (rp, rd, mz, mq))
+                )
+            else:
+                x = jnp.where(act, xn, x)
+                z = jnp.where(act, zn, z)
+                y = jnp.where(act, yn, y)
+                res_prim, res_dual, max_Ax_z, max_Px_ATy_q = stats(x, z, y)
             conv = (res_prim <= eps_abs + eps_rel * max_Ax_z) & (
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )
@@ -624,7 +736,7 @@ def _admm_core(
             mz = jnp.where(act, max_Ax_z, mz)
             mq = jnp.where(act, max_Px_ATy_q, mq)
             done = jnp.maximum(done, (act & conv).astype(x.dtype))
-            return x, z, y, done, itc, rp, rd, mz, mq, infs, ci + 1
+            return x, z, y, done, itc, rp, rd, mz, mq, infs, aa, ci + 1
 
         def chunk_cond(cc):
             done_c, infs_c = cc[3], cc[9]
@@ -633,10 +745,11 @@ def _admm_core(
                 > 0.0
             )
 
-        x, z, y, done, itc, rp, rd, mz, mq, infs, _ = lax.while_loop(
+        x, z, y, done, itc, rp, rd, mz, mq, infs, aa, _ = lax.while_loop(
             chunk_cond,
             chunk_body,
-            (x, z, y, done, itc, rp, rd, mz, mq, infs, jnp.zeros((), jnp.int32)),
+            (x, z, y, done, itc, rp, rd, mz, mq, infs, aa,
+             jnp.zeros((), jnp.int32)),
         )
 
         if adaptive_rho:
@@ -655,13 +768,21 @@ def _admm_core(
             rho_upd = rho_upd + changed.astype(dtype)
             rho_est = jnp.where(act, new_rho, rho_est)
             pending = changed.astype(dtype)
+            if use_aa:
+                # the chunk map changes with rho: stale AA pairs would
+                # extrapolate through a different fixed point.  The reset
+                # fires at ADOPTION time next epoch; resetting on the
+                # pending signal is equivalent (no chunk runs in between)
+                keep = 1.0 - pending
+                dU, dF, uT_prev, f_prev, prev_ok, pairs = aa
+                aa = (dU, dF, uT_prev, f_prev, prev_ok * keep, pairs * keep)
         return (
             x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-            pending, Minv, nfact, infs, e + 1,
+            pending, nfact, infs, aa, e + 1,
         )
 
     def epoch_cond(ec):
-        done_c, failv_c, infs_c, e = ec[3], ec[4], ec[16], ec[-1]
+        done_c, failv_c, infs_c, e = ec[3], ec[4], ec[15], ec[-1]
         return (e < n_epochs) & jnp.any(
             (1.0 - done_c) * (1.0 - failv_c) * (1.0 - jnp.minimum(infs_c, 1.0))
             > 0.0
@@ -669,13 +790,14 @@ def _admm_core(
 
     ec = (
         x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd, mz, mq,
-        pending, Minv, nfact, infs, jnp.zeros((), jnp.int32),
+        pending, nfact, infs, aa_init() if use_aa else (),
+        jnp.zeros((), jnp.int32),
     )
     ec = lax.while_loop(epoch_cond, epoch_body, ec)
     # x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd
-    # (+ Minv at 14, nfact at 15, infeas row at 16); rho at index 6 is
-    # ALWAYS the rho the current Minv was factored under (pending updates
-    # adopt at factor time)
+    # (+ nfact at 14, infeas row at 15); the final Minv lives in
+    # minv_ref; rho at index 6 is ALWAYS the rho that Minv was factored
+    # under (pending updates adopt at factor time)
     return ec
 
 
@@ -684,7 +806,7 @@ def _qp_kernel(
     xo_ref, zo_ref, yo_ref, st_ref, fw_ref, fl_ref, fi_ref,
     *, n, m, sigma, alpha, rho0, eps_abs, eps_rel,
     n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
-    check_infeas, eps_pinf, eps_dinf,
+    check_infeas, eps_pinf, eps_dinf, use_aa, aa_mem,
 ):
     dtype = P_ref.dtype
     P = P_ref[:]          # (n, n, TL)
@@ -696,7 +818,8 @@ def _qp_kernel(
 
     def factor_fn(rho_vec):
         # ref-based factorization (see _factor_schur_refs: ~4x the
-        # masked-iota path); P rows and A columns read from the input refs
+        # masked-iota path); P rows and A columns read from the input
+        # refs; the result lives in fw_ref
         return _factor_schur_refs(
             lambda r: P_ref[r],
             lambda c: A_ref[:, c],
@@ -726,7 +849,7 @@ def _qp_kernel(
         done=zero_row,
         failv=zero_row,
         rho=rho_row,
-        Minv=jnp.zeros((n, n, TL), dtype),
+        minv_ref=fw_ref,
         pending=jnp.ones((1, TL), dtype),
         sigma=sigma, alpha=alpha, eps_abs=eps_abs, eps_rel=eps_rel,
         n_epochs=n_epochs, chunks_per_epoch=chunks_per_epoch, seg=seg,
@@ -734,7 +857,7 @@ def _qp_kernel(
         adaptive_rho_tolerance=adaptive_rho_tolerance,
         eye_n=eye_n, loose=loose, equality=equality,
         check_infeas=check_infeas, eps_pinf=eps_pinf, eps_dinf=eps_dinf,
-        factor_fn=factor_fn,
+        factor_fn=factor_fn, use_aa=use_aa, aa_mem=aa_mem,
     )
     x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd = ec[:11]
 
@@ -742,7 +865,7 @@ def _qp_kernel(
     zo_ref[:] = z
     yo_ref[:] = y
     st_ref[:] = jnp.concatenate(
-        [done, itc, rp, rd, failv, rho_upd, rho_est, ec[16]],
+        [done, itc, rp, rd, failv, rho_upd, rho_est, ec[15]],
         axis=0,
     )
 
@@ -751,7 +874,7 @@ def _sqp_step_kernel(
     *refs,
     n, m, sigma, alpha, rho0, eps_abs, eps_rel,
     n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
-    do_bfgs, in_minv, out_minv,
+    do_bfgs, in_minv, out_minv, use_aa, aa_mem,
 ):
     """One fused SQP subproblem step for a tile of problems:
 
@@ -848,8 +971,9 @@ def _sqp_step_kernel(
 
     if in_minv:
         # SOC re-solve: same (B, J), new bounds — reuse the carried-in
-        # factor and rho (reference TODO src/sqp.cpp:273)
-        Minv = mi_ref[:]
+        # factor and rho (reference TODO src/sqp.cpp:273); the factor is
+        # staged into the scratch the iterations read from
+        fw_ref[...] = mi_ref[:]
         rho_in = msk[3:4]
         rho = jnp.where(rho_in > 0.0, rho_in, rho0)
         failv = zero_row
@@ -864,48 +988,42 @@ def _sqp_step_kernel(
         # instance in the kernel body — a second inlined instance raised
         # the Mosaic compile time ~50% at n=128.
         def attempt(i, carry):
-            Minv, f, nfact, Bc, need = carry
+            f, nfact, Bc, need = carry
 
             def do(args):
-                Minv_old, f_old, cnt = args
-                Minv_new, fn = sqp_factor(Bc, rho_vec0)
-                return Minv_new, fn, cnt + 1.0
+                f_old, cnt = args
+                fn = sqp_factor(Bc, rho_vec0)
+                return fn, cnt + 1.0
 
-            Minv, f, nfact = lax.cond(need, do, lambda a: a, (Minv, f, nfact))
+            f, nfact = lax.cond(need, do, lambda a: a, (f, nfact))
             bad = f * act0  # (1, TL): posdef fallback lanes
             Bc = jnp.where((bad > 0.0)[:, None, :], eye_n, Bc)
             need2 = (i < 1) & jnp.any(bad > 0.0)
-            return Minv, f, nfact, Bc, need2
+            return f, nfact, Bc, need2
 
-        Minv, f, nfact0, Bn, _ = lax.fori_loop(
-            0,
-            2,
-            attempt,
-            (
-                jnp.zeros((n, n, TL), dtype),
-                zero_row,
-                nfact0,
-                Bn,
-                jnp.any(act0 > 0.0),
-            ),
+        f, nfact0, Bn, _ = lax.fori_loop(
+            0, 2, attempt,
+            (zero_row, nfact0, Bn, jnp.any(act0 > 0.0)),
         )
         failv = f * act0
 
     ec = _admm_core(
         Bn, A, q, l, u, x_ref[:], z_ref[:], y_ref[:],
-        done=done0, failv=failv, rho=rho, Minv=Minv, pending=zero_row,
+        done=done0, failv=failv, rho=rho, minv_ref=fw_ref, pending=zero_row,
         sigma=sigma, alpha=alpha, eps_abs=eps_abs, eps_rel=eps_rel,
         n_epochs=n_epochs, chunks_per_epoch=chunks_per_epoch, seg=seg,
         adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance,
         eye_n=eye_n, loose=loose, equality=equality,
         factor_fn=lambda rv: sqp_factor(Bn, rv),
+        use_aa=use_aa, aa_mem=aa_mem,
     )
     x, z, y, done, failv, itc, rho_f, rho_upd, rho_est, rp, rd = ec[:11]
-    nfact = nfact0 + ec[15]
-    # rho_f is ALWAYS the rho the emitted factor (ec[14]) was computed
-    # under: pending adaptive updates adopt only at factorization time,
-    # so a factor-reusing re-solve (SOC) stays consistent
+    nfact = nfact0 + ec[14]
+    # rho_f is ALWAYS the rho the emitted factor (left in fw_ref) was
+    # computed under: pending adaptive updates adopt only at
+    # factorization time, so a factor-reusing re-solve (SOC) stays
+    # consistent
 
     po_ref[:] = x
     zo_ref[:] = z
@@ -915,7 +1033,7 @@ def _sqp_step_kernel(
         [done, itc, rp, rd, failv, rho_upd, rho_est, rho_f, nfact], axis=0
     )
     if out_minv:
-        mo_ref[:] = ec[14]
+        mo_ref[:] = fw_ref[...]
 
 
 @functools.partial(
@@ -924,12 +1042,13 @@ def _sqp_step_kernel(
         "n", "m", "sigma", "alpha", "rho0", "eps_abs", "eps_rel", "n_epochs",
         "chunks_per_epoch", "seg", "adaptive_rho", "adaptive_rho_tolerance",
         "lane_tile", "interpret", "do_bfgs", "in_minv", "out_minv",
+        "use_aa", "aa_mem",
     ),
 )
 def _sqp_step_call(
     *args, n, m, sigma, alpha, rho0, eps_abs, eps_rel, n_epochs,
     chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
-    lane_tile, interpret, do_bfgs, in_minv, out_minv,
+    lane_tile, interpret, do_bfgs, in_minv, out_minv, use_aa, aa_mem,
 ):
     gt = args[2]
     B = gt.shape[-1]
@@ -947,7 +1066,7 @@ def _sqp_step_call(
         eps_abs=eps_abs, eps_rel=eps_rel, n_epochs=n_epochs,
         chunks_per_epoch=chunks_per_epoch, seg=seg, adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance, do_bfgs=do_bfgs,
-        in_minv=in_minv, out_minv=out_minv,
+        in_minv=in_minv, out_minv=out_minv, use_aa=use_aa, aa_mem=aa_mem,
     )
     total_iters = n_epochs * chunks_per_epoch * seg
     in_specs = [spec(n, n), spec(m, n), spec(n), spec(m), spec(m),
@@ -1051,6 +1170,8 @@ def sqp_step_kernel(
             adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
             lane_tile=lane_tile, interpret=interpret, do_bfgs=do_bfgs,
             in_minv=minv_in is not None, out_minv=want_minv,
+            use_aa=settings.acceleration == "anderson",
+            aa_mem=int(settings.anderson_memory),
         )
 
     Bp = args[2].shape[-1]  # padded batch
@@ -1069,13 +1190,14 @@ def sqp_step_kernel(
         "n", "m", "sigma", "alpha", "rho0", "eps_abs", "eps_rel", "n_epochs",
         "chunks_per_epoch", "seg", "adaptive_rho", "adaptive_rho_tolerance",
         "lane_tile", "interpret", "check_infeas", "eps_pinf", "eps_dinf",
+        "use_aa", "aa_mem",
     ),
 )
 def _qp_kernel_call(
     Pt, At, qt, lt, ut, xt, zt, yt, *, n, m, sigma, alpha, rho0, eps_abs,
     eps_rel, n_epochs, chunks_per_epoch, seg, adaptive_rho,
     adaptive_rho_tolerance, lane_tile, interpret, check_infeas, eps_pinf,
-    eps_dinf,
+    eps_dinf, use_aa, aa_mem,
 ):
     B = qt.shape[-1]
     grid = (B // lane_tile,)
@@ -1093,6 +1215,7 @@ def _qp_kernel_call(
         chunks_per_epoch=chunks_per_epoch, seg=seg, adaptive_rho=adaptive_rho,
         adaptive_rho_tolerance=adaptive_rho_tolerance,
         check_infeas=check_infeas, eps_pinf=eps_pinf, eps_dinf=eps_dinf,
+        use_aa=use_aa, aa_mem=aa_mem,
     )
     total_iters = n_epochs * chunks_per_epoch * seg
     x, z, y, st = pl.pallas_call(
@@ -1186,6 +1309,8 @@ def qp_solve_kernel(
             check_infeas=bool(settings.check_infeasibility),
             eps_pinf=float(settings.eps_pinf),
             eps_dinf=float(settings.eps_dinf),
+            use_aa=settings.acceleration == "anderson",
+            aa_mem=int(settings.anderson_memory),
         )
 
     args = (Pt, At, qt, lt, ut, xt, zt, yt)

@@ -44,11 +44,6 @@ def qp_solve_batch(
             settings,
             state,
         )
-    if settings.acceleration != "none" and impl == "kernel":
-        raise ValueError(
-            "acceleration='anderson' is supported on the per-problem, vmap "
-            "and fused tiers (use impl='vmap' or impl='fused')"
-        )
     if impl == "fused":
         from sqp_solver_tpu.qp.admm_batched import qp_solve_fused
 

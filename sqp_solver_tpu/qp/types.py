@@ -136,8 +136,9 @@ class QPSettings:
     # per chunk only if its TRUE residual beats the plain iterate (and
     # passes the termination test whenever the plain one does), so it can
     # never slow convergence by more than the safeguard's bookkeeping
-    # (~2 extra residual evaluations per chunk).  Supported on the
-    # per-problem, vmap and fused tiers (not the whole-solve kernel).
+    # (~2 extra residual evaluations per chunk).  Supported on ALL tiers:
+    # per-problem, vmap, fused, and in-kernel (whole-solve and SQP-step
+    # kernels run the same scheme per lane on the TPU scalar+vector cores).
     acceleration: str = "none"
     anderson_memory: int = 4
     # OSQP §3.4 infeasibility detection from the ADMM iterate deltas at

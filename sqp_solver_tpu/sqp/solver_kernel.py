@@ -120,12 +120,6 @@ def sqp_solve_kernel_fused(
     (cross-checked by tests/test_fused_sqp.py).
     """
     settings.validate()
-    if settings.qp.acceleration != "none":
-        raise ValueError(
-            "inner-QP acceleration on the kernel tier requires the in-kernel "
-            "Anderson path (pending); use qp_impl='fused' for accelerated "
-            "inner QPs"
-        )
     dtype = x0.dtype
     B, n = x0.shape
     l, u = problem.l, problem.u

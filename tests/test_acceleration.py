@@ -67,18 +67,13 @@ class TestAnderson:
         ).all()
         assert not np.isnan(np.asarray(acc.x)).any()
 
-    def test_validation_and_tier_guard(self):
+    def test_validation(self):
         with pytest.raises(ValueError):
             QPSettings(acceleration="nope").validate()
         with pytest.raises(ValueError):
             QPSettings(anderson_memory=0).validate()
-        qp = random_qp_batch(batch=4, n=6, m=9, seed=0, dtype=jnp.float64)
-        with pytest.raises(ValueError):
-            qp_solve_batch(
-                qp,
-                QPSettings(acceleration="anderson"),
-                impl="kernel",
-            )
+        # the kernel tier accepts acceleration since round 3 (in-kernel
+        # AA) — see TestInKernelAnderson
 
     def test_fused_tier_matches_vmap_tier(self):
         """The batched AA implementation must reproduce the per-problem
@@ -121,3 +116,68 @@ class TestAndersonEdgeCases:
         res = qp_solve_batch(qp, s)
         assert (np.asarray(res.info.status) == QPStatus.MAX_ITER_EXCEEDED).all()
         assert (np.asarray(res.info.iter) == 200).all()
+
+
+class TestInKernelAnderson:
+    """Anderson on the whole-solve KERNEL tier (round-2 ROADMAP item 2):
+    the in-kernel scheme must match the fused tier's AA trajectory."""
+
+    def test_kernel_aa_matches_fused_aa(self):
+        import dataclasses
+
+        from sqp_solver_tpu.models.mpc import random_qp_batch
+        from sqp_solver_tpu.parallel.batch import qp_solve_batch
+
+        qp = random_qp_batch(batch=32, n=8, m=12, seed=1, dtype=jnp.float32)
+        S = QPSettings(eps_abs=1e-6, eps_rel=1e-6, max_iter=2000,
+                       check_termination=25, schedule="fixed",
+                       acceleration="anderson")
+        ker = qp_solve_batch(qp, S, impl="kernel")
+        fus = qp_solve_batch(qp, S, impl="fused")
+        assert (np.asarray(ker.info.status) == 0).all()
+        np.testing.assert_array_equal(
+            np.asarray(ker.info.iter), np.asarray(fus.info.iter)
+        )
+        np.testing.assert_allclose(
+            np.asarray(ker.x), np.asarray(fus.x), atol=5e-4
+        )
+
+    def test_kernel_aa_cuts_iterations(self):
+        import dataclasses
+
+        from sqp_solver_tpu.models.mpc import random_qp_batch
+        from sqp_solver_tpu.parallel.batch import qp_solve_batch
+
+        qp = random_qp_batch(batch=32, n=8, m=12, seed=1, dtype=jnp.float32)
+        S = QPSettings(eps_abs=1e-6, eps_rel=1e-6, max_iter=2000,
+                       check_termination=25, schedule="fixed")
+        plain = qp_solve_batch(qp, S, impl="kernel")
+        aa = qp_solve_batch(
+            qp, dataclasses.replace(S, acceleration="anderson"), impl="kernel"
+        )
+        it_p = np.asarray(plain.info.iter).mean()
+        it_a = np.asarray(aa.info.iter).mean()
+        assert it_a < 0.6 * it_p, (it_p, it_a)
+
+    def test_sqp_kernel_tier_accepts_anderson(self):
+        """The SQP kernel tier's inner QP runs in-kernel AA (the round-2
+        ValueError guard is gone)."""
+        import dataclasses
+
+        from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+        from sqp_solver_tpu.sqp import SQPSettings
+        from sqp_solver_tpu.sqp.solver_kernel import sqp_solve_kernel_fused
+
+        problem, x0 = sphere_cap_nlp_batch(8, 6, seed=4, dtype=jnp.float32)
+        s = SQPSettings(
+            max_iter=12, termination="kkt", eps_prim=1e-3, eps_dual=1e-3,
+            schedule="fixed", qp_impl="kernel", polish=True,
+            qp=QPSettings(eps_abs=1e-5, eps_rel=1e-5, max_iter=200,
+                          check_termination=25, warm_start=True,
+                          adaptive_rho=True, adaptive_rho_interval=50,
+                          acceleration="anderson"),
+        )
+        res = sqp_solve_kernel_fused(problem, x0, None, s)
+        st = np.asarray(res.info.status)
+        assert (st == 0).sum() >= 6
+        assert not np.isnan(np.asarray(res.x)).any()
