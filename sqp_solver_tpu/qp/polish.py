@@ -110,22 +110,38 @@ def kkt_solve_schur_refined(
             + (1.0 / d_c)
             * jnp.einsum("...mi,...mj->...ij", A_m, A_m, precision=lax.Precision.HIGHEST)
         )
-        L = jnp.linalg.cholesky(M)
-        fail = jnp.isnan(L[..., -1, -1])
-        # Explicit inverse + one Newton-Schulz step instead of per-sweep
-        # triangular solves: XLA's batched triangular_solve is a
-        # sequential substitution (the linear_solver.py measurement), and
-        # the 2-solves-per-sweep form cost ~15 ms per polish pass at
-        # n=32, B=4096 — a third of the whole SQP solve.  One solve
-        # against I amortizes it; every sweep is then an MXU matvec, and
-        # the refinement against the ideal operator absorbs the O(eps)
-        # inverse error exactly like the delta bias.
-        Li = jax.scipy.linalg.solve_triangular(
-            L, jnp.broadcast_to(eye, M.shape), lower=True
+        # Explicit inverse instead of per-sweep triangular solves, with
+        # two backends:
+        #  * the lane-vectorized Pallas SPD-inverse kernel for large TPU
+        #    batches (measured n=128 B=1024: ~6 ms vs ~25 ms for XLA's
+        #    batched cholesky + solve_triangular against I — the
+        #    cholesky alone is 15 ms, the dominant cost of the whole
+        #    polish);
+        #  * XLA cholesky + one solve against I otherwise.
+        # One Newton-Schulz step (two MXU matmuls) recovers backsolve-
+        # grade accuracy either way, and the refinement sweeps against
+        # the IDEAL operator absorb the O(eps) inverse error exactly
+        # like the delta bias.  Every sweep is then an MXU matvec.
+        use_kernel = (
+            M.ndim == 3
+            and M.shape[0] * n >= 256 * 32
+            and jax.default_backend() == "tpu"
         )
-        Minv = jnp.einsum(
-            "...ki,...kj->...ij", Li, Li, precision=lax.Precision.HIGHEST
-        )
+        if use_kernel:
+            from sqp_solver_tpu.ops.qp_kernel import spd_inverse_kernel
+
+            Minv_t, fail_row = spd_inverse_kernel(jnp.moveaxis(M, 0, -1))
+            Minv = jnp.moveaxis(Minv_t, -1, 0)
+            fail = fail_row > 0.5
+        else:
+            L = jnp.linalg.cholesky(M)
+            fail = jnp.isnan(L[..., -1, -1])
+            Li = jax.scipy.linalg.solve_triangular(
+                L, jnp.broadcast_to(eye, M.shape), lower=True
+            )
+            Minv = jnp.einsum(
+                "...ki,...kj->...ij", Li, Li, precision=lax.Precision.HIGHEST
+            )
         Minv = jnp.einsum(
             "...ik,...kj->...ij",
             Minv,

@@ -134,3 +134,28 @@ class TestSOCFactorReuse:
         np.testing.assert_allclose(
             np.asarray(out_reuse[0]), np.asarray(out_fresh[0]), atol=1e-4
         )
+
+
+class TestSpdInverseKernel:
+    def test_matches_xla_inverse(self):
+        from sqp_solver_tpu.ops.qp_kernel import spd_inverse_kernel
+
+        rng = np.random.default_rng(7)
+        B, n = 12, 16
+        G = rng.standard_normal((B, n, n)).astype(np.float32) / np.sqrt(n)
+        M = np.einsum("bki,bkj->bij", G, G) + np.eye(n, dtype=np.float32)
+        Minv_t, fail = spd_inverse_kernel(jnp.moveaxis(jnp.asarray(M), 0, -1))
+        Minv = np.moveaxis(np.asarray(Minv_t), -1, 0)
+        ref = np.linalg.inv(M.astype(np.float64))
+        np.testing.assert_allclose(Minv, ref, atol=5e-5)
+        assert (np.asarray(fail) == 0).all()
+
+    def test_fail_flag_on_indefinite(self):
+        from sqp_solver_tpu.ops.qp_kernel import spd_inverse_kernel
+
+        B, n = 4, 8
+        M = np.broadcast_to(np.eye(n, dtype=np.float32), (B, n, n)).copy()
+        M[1] = -np.eye(n)  # indefinite lane
+        _, fail = spd_inverse_kernel(jnp.moveaxis(jnp.asarray(M), 0, -1))
+        fail = np.asarray(fail)
+        assert fail[1] > 0 and fail[0] == 0
