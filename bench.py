@@ -211,12 +211,26 @@ def main():
     )
 
     # ---- supplementary: n=128 SQP config (north-star "n <= 128") -----------
-    B2, N2 = 1024, 128
+    # B=4096 amortizes the relay's ~22 ms per-dispatch intercept; 7 outer
+    # iterations + multi-pass polish keep solved=1.000 at err_p99 ~2e-7
+    # (budget sweep: scripts/n128bench.py round 3)
+    B2, N2 = 4096, 128
     build128 = make_problem_generator(B2, N2, jnp.float32)
+    settings128 = SQPSettings(
+        max_iter=7,
+        eps_prim=2e-3,
+        eps_dual=2e-3,
+        termination="kkt",
+        schedule="fixed",
+        qp_impl="kernel",
+        polish=True,
+        line_search_max_iter=10,
+        qp=settings.qp,
+    )
 
     def run128(key):
         problem, x0 = build128(key)
-        return sqp_solve_batch(problem, x0, None, settings, impl="fused")
+        return sqp_solve_batch(problem, x0, None, settings128, impl="fused")
 
     solve128 = jax.jit(run128)
     _ = np.asarray(solve128(jax.random.PRNGKey(0)).x)
@@ -298,16 +312,21 @@ def main():
     # ---- supplementary: structured (block-tridiagonal) MPC vs dense ---------
     from sqp_solver_tpu.models.mpc import mpc_qp_stagewise_batch
 
+    # fused fixed-schedule tier (round 3): no dynamic loop conditions, so
+    # the dense/blocktri delta reflects the BACKEND cost, not the vmap
+    # tier's ~19 ms-per-condition host-sync floor
     Bs, Ts = 256, 64
     qp_s, blk = mpc_qp_stagewise_batch(Bs, horizon=Ts, dtype=jnp.float32)
     jax.block_until_ready(qp_s)
-    s_dense = QPSettings(adaptive_rho=True, max_iter=500)
+    s_dense = QPSettings(adaptive_rho=True, max_iter=500, schedule="fixed")
     s_struct = QPSettings(
-        adaptive_rho=True, max_iter=500,
+        adaptive_rho=True, max_iter=500, schedule="fixed",
         linear_solver="schur_block_tridiag", block_size=blk,
     )
     for label, s_cfg in (("dense", s_dense), ("blocktri", s_struct)):
-        sol_fn = jax.jit(lambda p, s_cfg=s_cfg: qp_solve_batch(p, s_cfg))
+        sol_fn = jax.jit(
+            lambda p, s_cfg=s_cfg: qp_solve_batch(p, s_cfg, impl="fused")
+        )
         _ = np.asarray(sol_fn(qp_s).x)
         ts = []
         for seed in (1, 2):
@@ -318,11 +337,9 @@ def main():
             _ = np.asarray(rs.x)
             ts.append(time.perf_counter() - t0)
         log(
-            f"structured MPC ({label}): n={qp_s.P.shape[-1]} B={Bs} "
+            f"structured MPC ({label}, fused fixed-schedule): "
+            f"n={qp_s.P.shape[-1]} B={Bs} "
             f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
-            " (vmap tier: both configs share the same dynamic-loop sync floor"
-            " through the relay, so the dense/blocktri delta is a LOWER bound"
-            " on the backend speedup)"
         )
 
     # ---- supplementary: batched QP throughput -------------------------------
@@ -359,9 +376,10 @@ def main():
     )
     import dataclasses as _dc2
 
+    # in-kernel AA on the flagship whole-solve kernel tier (round 3)
     qp_aa = _dc2.replace(qp_tight, acceleration="anderson")
-    asolve = jax.jit(lambda p: qp_solve_batch(p, qp_aa, impl="fused"))
-    psolve = jax.jit(lambda p: qp_solve_batch(p, qp_tight, impl="fused"))
+    asolve = jax.jit(lambda p: qp_solve_batch(p, qp_aa, impl="kernel"))
+    psolve = jax.jit(lambda p: qp_solve_batch(p, qp_tight, impl="kernel"))
     _ = np.asarray(asolve(qp0).x)
     _ = np.asarray(psolve(qp0).x)
     qp2 = random_qp_batch(batch=B, n=32, m=33, seed=3, dtype=jnp.float32)
@@ -371,8 +389,8 @@ def main():
     it_a = float(np.mean(np.asarray(ra.info.iter)))
     it_p = float(np.mean(np.asarray(rp.info.iter)))
     log(
-        f"anderson acceleration (fused): mean iters {it_p:.0f} -> {it_a:.0f} "
-        f"({it_p/max(it_a,1e-9):.2f}x); solved "
+        f"anderson acceleration (kernel tier, in-kernel AA): mean iters "
+        f"{it_p:.0f} -> {it_a:.0f} ({it_p/max(it_a,1e-9):.2f}x); solved "
         f"{float(np.mean(np.asarray(ra.info.status)==0)):.3f}"
     )
 
