@@ -129,18 +129,20 @@ def main():
     # ---- headline: batched SQP, n=32, B=4096, f32 --------------------------
     B, N = 4096, 32
     build = make_problem_generator(B, N, jnp.float32)
-    # budgets: outer p99 on this family is <= 8 (KKT-terminated; polish
-    # rescues stragglers); warm-started inner QPs converge in tens of
-    # iterations -> check every 10 (the reference's own inner default,
-    # src/sqp.cpp:17) with a 50-iteration cap
+    # Two-phase budget (round-3 sweep): 3 damped SQP outer iterations for
+    # globalization + 3 Newton-KKT polish passes (true-Hessian active-set
+    # refinement; statuses certified against re-linearized KKT residuals,
+    # accuracy against the closed form).  Inner QPs warm-start and check
+    # every 10 (the reference's own inner default, src/sqp.cpp:17).
     settings = SQPSettings(
-        max_iter=10,
+        max_iter=3,
         eps_prim=2e-3,
         eps_dual=2e-3,
         termination="kkt",
         schedule="fixed",
         qp_impl="kernel",
         polish=True,
+        polish_passes=3,
         line_search_max_iter=10,
         qp=QPSettings(
             alpha=1.6,
@@ -210,61 +212,58 @@ def main():
         f"not reachable for this shape)"
     )
 
-    # ---- supplementary: n=128 SQP config (north-star "n <= 128") -----------
-    # B=4096 amortizes the relay's ~22 ms per-dispatch intercept; 7 outer
-    # iterations + multi-pass polish keep solved=1.000 at err_p99 ~2e-7
-    # (budget sweep: scripts/n128bench.py round 3)
-    B2, N2 = 4096, 128
-    build128 = make_problem_generator(B2, N2, jnp.float32)
+    # ---- n=128 SQP config (north-star "n <= 128, >= 1e4 solves/s") ---------
+    # Two-phase configuration (budget sweep, scripts/n128bench.py round 3):
+    # 2 damped SQP outer iterations for globalization + 3 Newton-KKT
+    # polish passes (true-Hessian active-set refinement with per-problem
+    # accept guards and true-residual status certification) — solved is
+    # judged by re-linearized KKT error, accuracy by the closed form.
+    N2 = 128
     settings128 = SQPSettings(
-        max_iter=7,
+        max_iter=2,
         eps_prim=2e-3,
         eps_dual=2e-3,
         termination="kkt",
         schedule="fixed",
         qp_impl="kernel",
         polish=True,
+        polish_passes=3,
         line_search_max_iter=10,
         qp=settings.qp,
     )
 
-    def run128(key):
-        problem, x0 = build128(key)
-        return sqp_solve_batch(problem, x0, None, settings128, impl="fused")
+    for B2 in (1024, 4096):
+        build128 = make_problem_generator(B2, N2, jnp.float32)
 
-    solve128 = jax.jit(run128)
-    _ = np.asarray(solve128(jax.random.PRNGKey(0)).x)
-    t128s = []
-    for rep in (1, 2):
-        key = jax.random.PRNGKey(rep)
-        jax.block_until_ready(key)
-        t0 = time.perf_counter()
-        r128 = solve128(key)
-        _ = np.asarray(r128.x)
-        t128s.append(time.perf_counter() - t0)
-    t128 = min(t128s)
-    prob128, _ = jax.jit(build128)(jax.random.PRNGKey(2))
-    r128a = solve128(jax.random.PRNGKey(2))
-    err128 = float(
-        np.percentile(np.abs(np.asarray(r128a.x, np.float64) - solution(prob128)), 99)
-    )
-    it128 = np.asarray(r128.info.iter)
-    qpit128 = np.asarray(r128.info.qp_solver_iter)
-    log(
-        f"sqp batch n=128: B={B2} time={t128*1e3:.0f}ms -> {B2/t128:.0f} solves/s; "
-        f"solved={float(np.mean(np.asarray(r128.info.status)==0)):.3f} err_p99={err128:.2e}"
-    )
-    flops128 = sqp_flops_model(
-        N2, N2 + 1, float(np.mean(it128)), float(np.mean(qpit128))
-    )
-    achieved128 = flops128 * B2 / t128
-    log(
-        f"roofline n=128: ~{flops128/1e6:.0f} MFLOP/solve useful -> "
-        f"{achieved128/1e9:.0f} GFLOP/s = {achieved128/VPU_CEILING_FLOPS*100:.0f}% of "
-        f"VPU ceiling — the n=128 ceiling at these iteration counts is "
-        f"~{VPU_CEILING_FLOPS/flops128:.0f} solves/s/TFLOP-budget; the "
-        f"factorization (n^3) dominates and is VPU-bound per problem"
-    )
+        def run128(key, build128=build128):
+            problem, x0 = build128(key)
+            return sqp_solve_batch(problem, x0, None, settings128, impl="fused")
+
+        solve128 = jax.jit(run128)
+        _ = np.asarray(solve128(jax.random.PRNGKey(0)).x)
+        t128s = []
+        for rep in (1, 2, 3):
+            key = jax.random.PRNGKey(rep)
+            jax.block_until_ready(key)
+            t0 = time.perf_counter()
+            r128 = solve128(key)
+            _ = np.asarray(r128.x)
+            t128s.append(time.perf_counter() - t0)
+        t128 = min(t128s)
+        prob128, _ = jax.jit(build128)(jax.random.PRNGKey(9))
+        r128a = solve128(jax.random.PRNGKey(9))
+        err128 = float(
+            np.percentile(
+                np.abs(np.asarray(r128a.x, np.float64) - solution(prob128)), 99
+            )
+        )
+        log(
+            f"sqp batch n=128: B={B2} time={t128*1e3:.0f}ms -> "
+            f"{B2/t128:.0f} solves/s; "
+            f"solved={float(np.mean(np.asarray(r128.info.status)==0)):.3f} "
+            f"err_p99={err128:.2e}"
+            + ("  [north star: >= 1e4 at n=128]" if B2 == 1024 else "")
+        )
 
     # ---- supplementary: large-n single NLP (BASELINE configs[4], n~4096) ----
     # blocked MXU Cholesky backend (SURVEY C6 north-star kernel): round-1
@@ -312,20 +311,25 @@ def main():
     # ---- supplementary: structured (block-tridiagonal) MPC vs dense ---------
     from sqp_solver_tpu.models.mpc import mpc_qp_stagewise_batch
 
-    # fused fixed-schedule tier (round 3): no dynamic loop conditions, so
-    # the dense/blocktri delta reflects the BACKEND cost, not the vmap
-    # tier's ~19 ms-per-condition host-sync floor
+    # three configurations: the blocktri backend's O(T b^3) factorization
+    # vs dense O((Tb)^3) on the vmap tier (fastest on this shape), plus
+    # the fixed-schedule fused path (zero dynamic loop conditions — the
+    # right tier when relay/host-sync costs dominate)
     Bs, Ts = 256, 64
     qp_s, blk = mpc_qp_stagewise_batch(Bs, horizon=Ts, dtype=jnp.float32)
     jax.block_until_ready(qp_s)
-    s_dense = QPSettings(adaptive_rho=True, max_iter=500, schedule="fixed")
-    s_struct = QPSettings(
-        adaptive_rho=True, max_iter=500, schedule="fixed",
-        linear_solver="schur_block_tridiag", block_size=blk,
+    mpc_rows = (
+        ("dense, vmap", QPSettings(adaptive_rho=True, max_iter=500), "vmap"),
+        ("blocktri, vmap", QPSettings(
+            adaptive_rho=True, max_iter=500,
+            linear_solver="schur_block_tridiag", block_size=blk), "vmap"),
+        ("blocktri, fused fixed-schedule", QPSettings(
+            adaptive_rho=True, max_iter=500, schedule="fixed",
+            linear_solver="schur_block_tridiag", block_size=blk), "fused"),
     )
-    for label, s_cfg in (("dense", s_dense), ("blocktri", s_struct)):
+    for label, s_cfg, impl in mpc_rows:
         sol_fn = jax.jit(
-            lambda p, s_cfg=s_cfg: qp_solve_batch(p, s_cfg, impl="fused")
+            lambda p, s_cfg=s_cfg, impl=impl: qp_solve_batch(p, s_cfg, impl=impl)
         )
         _ = np.asarray(sol_fn(qp_s).x)
         ts = []
@@ -337,8 +341,7 @@ def main():
             _ = np.asarray(rs.x)
             ts.append(time.perf_counter() - t0)
         log(
-            f"structured MPC ({label}, fused fixed-schedule): "
-            f"n={qp_s.P.shape[-1]} B={Bs} "
+            f"structured MPC ({label}): n={qp_s.P.shape[-1]} B={Bs} "
             f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
         )
 

@@ -165,6 +165,12 @@ def admm_chunk_pallas(
             jax.ShapeDtypeStruct((B, 4), s.dtype),
         ),
         interpret=interpret,
+        # large-D configs (e.g. the n=192 MPC family, D=512) need more
+        # than Mosaic's default 16 MB scoped window even at the minimum
+        # 8-problem tile (measured 23.7 MB)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * D * D * (seg + 2),
             bytes_accessed=B * D * D * 4,

@@ -497,14 +497,14 @@ def _btd_factor_factory(b: int):
                 w_k = Li_k @ (b_k - Fp_k @ w_prev)
                 return w_k, w_k
 
-            _, W = lax.scan(fwd, jnp.zeros((b,), v.dtype), (Li, F_prev, vb))
+            _, W = lax.scan(fwd, jnp.zeros((b,), v.dtype), (Li, F_prev, vb), unroll=8)
 
             def bwd(x_next, inp):
                 Li_k, F_k, w_k = inp
                 x_k = Li_k.T @ (w_k - F_k.T @ x_next)
                 return x_k, x_k
 
-            _, X = lax.scan(bwd, jnp.zeros((b,), v.dtype), (Li, F, W), reverse=True)
+            _, X = lax.scan(bwd, jnp.zeros((b,), v.dtype), (Li, F, W), reverse=True, unroll=8)
             return X.reshape(n)
 
         x = btd_solve(bvec)
