@@ -345,6 +345,45 @@ def main():
             f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
         )
 
+    # ---- supplementary: arrow-structured (bordered) coupled MPC -------------
+    # multi-agent rendezvous: block-diagonal Schur (one block per agent)
+    # bordered by the shared meet-point columns — the border-coupled
+    # structure block-tridiag cannot express.  O(T b^3 + c^3) vs dense
+    # O((Tb + c)^3).
+    from sqp_solver_tpu.models.mpc import mpc_qp_coupled_batch
+
+    Ba, Ag, Hz = 128, 24, 16
+    qp_a, blk_a, cw = mpc_qp_coupled_batch(Ba, agents=Ag, horizon=Hz, dtype=jnp.float32)
+    jax.block_until_ready(qp_a)
+    arrow_rows = (
+        ("dense, vmap", QPSettings(adaptive_rho=True, max_iter=500), "vmap"),
+        ("arrow, vmap", QPSettings(
+            adaptive_rho=True, max_iter=500,
+            linear_solver="schur_arrow", block_size=blk_a, arrow_width=cw), "vmap"),
+        ("arrow, fused fixed-schedule", QPSettings(
+            adaptive_rho=True, max_iter=500, schedule="fixed",
+            linear_solver="schur_arrow", block_size=blk_a, arrow_width=cw), "fused"),
+    )
+    for label, s_cfg, impl in arrow_rows:
+        sol_fn = jax.jit(
+            lambda p, s_cfg=s_cfg, impl=impl: qp_solve_batch(p, s_cfg, impl=impl)
+        )
+        _ = np.asarray(sol_fn(qp_a).x)
+        ts = []
+        for seed in (1, 2):
+            qp2, _, _ = mpc_qp_coupled_batch(
+                Ba, agents=Ag, horizon=Hz, seed=seed, dtype=jnp.float32
+            )
+            jax.block_until_ready(qp2)
+            t0 = time.perf_counter()
+            rs = sol_fn(qp2)
+            _ = np.asarray(rs.x)
+            ts.append(time.perf_counter() - t0)
+        log(
+            f"coupled MPC arrow ({label}): n={qp_a.P.shape[-1]} B={Ba} "
+            f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
+        )
+
     # ---- supplementary: batched QP throughput -------------------------------
     qp_settings = QPSettings(
         alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=200,

@@ -17,7 +17,12 @@ import jax.numpy as jnp
 
 from sqp_solver_tpu.qp.types import QuadraticProblem
 
-__all__ = ["mpc_qp_batch", "mpc_qp_stagewise_batch", "random_qp_batch"]
+__all__ = [
+    "mpc_qp_batch",
+    "mpc_qp_stagewise_batch",
+    "mpc_qp_coupled_batch",
+    "random_qp_batch",
+]
 
 
 def _double_integrator_condensed(horizon: int, dt: float = 0.1):
@@ -179,6 +184,110 @@ def mpc_qp_stagewise_batch(
         u=jnp.asarray(u, dtype=dtype),
     )
     return problem, b
+
+
+def mpc_qp_coupled_batch(
+    batch: int,
+    agents: int = 8,
+    horizon: int = 4,
+    meet_points: int = 2,
+    dt: float = 0.25,
+    u_max: float = 2.0,
+    v_max: float = 1.5,
+    p_max: float = 5.0,
+    r_weight: float = 0.1,
+    w_weight: float = 1e-2,
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """Multi-agent rendezvous MPC with an ARROW-structured Schur matrix —
+    the border-coupled structured-KKT family.
+
+    ``agents`` double integrators each plan a condensed input sequence
+    z_k (horizon vars, tracking + effort cost, input box + velocity
+    rows), and agent k's TERMINAL POSITION must equal a shared,
+    jointly-optimized rendezvous coordinate w_{k mod meet_points}
+    (equality rows touching z_k and w only).  No constraint couples two
+    agents directly, so M = P + sigma I + A' rho A is arrow: a
+    block-diagonal leading part (block size = horizon, one block per
+    agent) bordered by ``meet_points`` dense coupling columns — solve
+    with ``QPSettings(linear_solver="schur_arrow", block_size=horizon,
+    arrow_width=meet_points)``.  Together with the block-tridiagonal
+    family this covers the reference's sparse-path ambition
+    (``include/solvers/qp.hpp:126-128``,
+    ``tests/qp_solver_sparse_test.cpp:51-98``) for bordered structures.
+
+    Returns (problem, block_size, arrow_width).  P, A shared across the
+    batch; per-instance initial states enter through q and the coupling
+    equality bounds.
+    """
+    h, S, c = horizon, agents, meet_points
+    n = S * h + c
+    Sx, Su = _double_integrator_condensed(h, dt)
+    Sp_x, Sp_u = Sx[:, 0, :], Su[:, 0, :]
+    Sv_x, Sv_u = Sx[:, 1, :], Su[:, 1, :]
+    P_blk = Sp_u.T @ Sp_u + r_weight * np.eye(h)
+
+    P = np.zeros((n, n))
+    for k in range(S):
+        o = h * k
+        P[o : o + h, o : o + h] = P_blk
+    P[S * h :, S * h :] = w_weight * np.eye(c)
+
+    # rows per agent: input box (h) + velocity bounds (h) + rendezvous
+    # equality (1); rows on w only: box (c)
+    m = S * (2 * h + 1) + c
+    A_mat = np.zeros((m, n))
+    r = 0
+    for k in range(S):
+        o = h * k
+        A_mat[r : r + h, o : o + h] = np.eye(h)  # input box
+        r += h
+        A_mat[r : r + h, o : o + h] = Sv_u  # velocity rows
+        r += h
+        # terminal position - rendezvous coordinate = -(Sx_pos x0)[h-1]
+        A_mat[r, o : o + h] = Sp_u[h - 1]
+        A_mat[r, S * h + (k % c)] = -1.0
+        r += 1
+    A_mat[r : r + c, S * h :] = np.eye(c)  # w box
+    assert r + c == m
+
+    rng = np.random.default_rng(seed)
+    # keep initial states tight enough that the agents sharing a meet
+    # point always have intersecting reachable terminal sets (drift
+    # p0 + v0*T stays within +-0.6 vs a +-1.0 controllable envelope at
+    # the default horizon/dt/u_max) — every instance is feasible
+    x0 = rng.uniform(-0.3, 0.3, size=(batch, S, 2))
+
+    q = np.zeros((batch, n))
+    # tracking cost: position sequence to origin given x0 per agent
+    q[:, : S * h] = np.einsum("bsx,hx,hj->bsj", x0, Sp_x, Sp_u).reshape(
+        batch, S * h
+    )
+    pos_off = np.einsum("bsx,x->bs", x0, Sp_x[h - 1])  # (batch, S)
+    vel_off = np.einsum("bsx,hx->bsh", x0, Sv_x)  # (batch, S, h)
+
+    l = np.zeros((batch, m))
+    u = np.zeros((batch, m))
+    for k in range(S):
+        r0 = k * (2 * h + 1)
+        l[:, r0 : r0 + h] = -u_max
+        u[:, r0 : r0 + h] = u_max
+        l[:, r0 + h : r0 + 2 * h] = -v_max - vel_off[:, k]
+        u[:, r0 + h : r0 + 2 * h] = v_max - vel_off[:, k]
+        l[:, r0 + 2 * h] = -pos_off[:, k]
+        u[:, r0 + 2 * h] = -pos_off[:, k]
+    l[:, S * (2 * h + 1) :] = -p_max
+    u[:, S * (2 * h + 1) :] = p_max
+
+    problem = QuadraticProblem(
+        P=jnp.asarray(np.broadcast_to(P, (batch, n, n)), dtype=dtype),
+        q=jnp.asarray(q, dtype=dtype),
+        A=jnp.asarray(np.broadcast_to(A_mat, (batch, m, n)), dtype=dtype),
+        l=jnp.asarray(l, dtype=dtype),
+        u=jnp.asarray(u, dtype=dtype),
+    )
+    return problem, h, c
 
 
 def random_qp_batch(

@@ -518,6 +518,119 @@ def _btd_factor_factory(b: int):
     return LinearSolver(factor, solve, _fallback_solve_xz(solve), is_failure)
 
 
+# ---------------------------------------------------------------------------
+# Arrow-structured Schur Cholesky (block-diagonal + dense coupling border —
+# MPC with coupling constraints, factor-model portfolios).  Completes the
+# reference's sparse ambition (include/solvers/qp.hpp:126-128,
+# tests/qp_solver_sparse_test.cpp:51-98) for the border-structured KKTs the
+# block-tridiagonal backend cannot express.
+# ---------------------------------------------------------------------------
+
+
+def _arrow_factor_factory(b: int, c: int):
+    """Schur matrix assumed arrow-structured:
+
+        M = [[D, B], [B', C]]   with D = blkdiag(D_1..D_T), D_k (b, b),
+                                 C (c, c) dense (the coupling border).
+
+    Factor cost O(T b^3 + T b^2 c + c^3) instead of dense O((Tb + c)^3);
+    per-iteration solves are three batched small matmuls, O(T b^2 + T b c
+    + c^2).  Entries of M outside the arrow pattern are IGNORED (the
+    block-masked-dense contract, same as ``schur_block_tridiag``): the
+    caller must guarantee the structure — e.g. stage-wise problems whose
+    only cross-stage coupling runs through the trailing ``c`` variables.
+
+    Everything is precomputed as explicit inverses (the hot ADMM loop
+    then costs matvecs only, matching the dense default's design):
+
+        Dinv_k = D_k^-1                    (T, b, b)  batched Cholesky
+        W_k    = Dinv_k B_k                (T, b, c)
+        S      = C - B' D^-1 B = C - sum_k B_k' W_k    (c, c)
+        Sinv   = S^-1 (Cholesky + Newton-Schulz)
+
+    Solve of M [x_d; x_c] = [v_d; v_c] by block elimination:
+
+        t   = Dinv v_d          (batched matvec)
+        x_c = Sinv (v_c - B' t)
+        x_d = t - W x_c
+    """
+
+    def factor(P, A, sigma, rho_vec):
+        with jax.default_matmul_precision("highest"):
+            M = _schur_matrix(P, A, sigma, rho_vec)
+            n = M.shape[-1]
+            T = (n - c) // b
+            nd = T * b
+            Dblk = M[:nd, :nd].reshape(T, b, T, b)[
+                jnp.arange(T), :, jnp.arange(T), :
+            ]  # (T, b, b)
+            Bblk = M[:nd, nd:].reshape(T, b, c)  # (T, b, c)
+            C = M[nd:, nd:]  # (c, c)
+
+            Ld = jnp.linalg.cholesky(Dblk)  # batched (T, b, b)
+            eye_b = jnp.eye(b, dtype=M.dtype)
+            Li = jax.vmap(
+                lambda Lk: jax.scipy.linalg.solve_triangular(Lk, eye_b, lower=True)
+            )(Ld)
+            Dinv = jnp.einsum(
+                "tij,tik->tjk", Li, Li, precision=lax.Precision.HIGHEST
+            )  # Li' Li = D_k^-1
+            W = jnp.einsum(
+                "tij,tjc->tic", Dinv, Bblk, precision=lax.Precision.HIGHEST
+            )  # (T, b, c)
+            S = C - jnp.einsum(
+                "tbc,tbd->cd", Bblk, W, precision=lax.Precision.HIGHEST
+            )
+            Ls = jnp.linalg.cholesky(S)
+            Lsi = jax.scipy.linalg.solve_triangular(
+                Ls, jnp.eye(c, dtype=M.dtype), lower=True
+            )
+            Sinv = hmat(Lsi.T, Lsi)
+            # one Newton-Schulz step on the border inverse (f32 accuracy)
+            Sinv = hmat(Sinv, 2.0 * jnp.eye(c, dtype=M.dtype) - hmat(S, Sinv))
+        return {
+            "Dinv": Dinv,
+            "W": W,
+            "B": Bblk,
+            "Sinv": Sinv,
+            "M": M,
+            "diag_nan": jnp.any(jnp.isnan(Ld)) | jnp.any(jnp.isnan(Ls)),
+        }
+
+    def solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
+        bvec = rhs1 + _mv(A.mT, rho_vec * rhs2)
+        n = bvec.shape[-1]
+        T = (n - c) // b
+        nd = T * b
+
+        def arrow_solve(v):
+            vd = v[:nd].reshape(T, b)
+            vc = v[nd:]
+            t = jnp.einsum(
+                "tij,tj->ti", factor["Dinv"], vd, precision=lax.Precision.HIGHEST
+            )
+            xc = _mv(
+                factor["Sinv"],
+                vc - jnp.einsum(
+                    "tbc,tb->c", factor["B"], t, precision=lax.Precision.HIGHEST
+                ),
+            )
+            xd = t - jnp.einsum(
+                "tbc,c->tb", factor["W"], xc, precision=lax.Precision.HIGHEST
+            )
+            return jnp.concatenate([xd.reshape(nd), xc])
+
+        x = arrow_solve(bvec)
+        for _ in range(refine_steps):
+            x = x + arrow_solve(bvec - _mv(factor["M"], x))
+        return x
+
+    def is_failure(factor):
+        return factor["diag_nan"]
+
+    return LinearSolver(factor, solve, _fallback_solve_xz(solve), is_failure)
+
+
 def _fallback_solve_xz(solve):
     def solve_xz(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
         x = solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps)
@@ -551,17 +664,26 @@ _REGISTRY = {
 }
 
 
-def get_linear_solver(name: str, block_size: int = 0) -> LinearSolver:
+def get_linear_solver(
+    name: str, block_size: int = 0, arrow_width: int = 0
+) -> LinearSolver:
     if name == "schur_block_tridiag":
         if block_size <= 0:
             raise ValueError(
                 "linear_solver='schur_block_tridiag' requires settings.block_size > 0"
             )
         return _btd_factor_factory(block_size)
+    if name == "schur_arrow":
+        if block_size <= 0 or arrow_width <= 0:
+            raise ValueError(
+                "linear_solver='schur_arrow' requires settings.block_size > 0 "
+                "and settings.arrow_width > 0"
+            )
+        return _arrow_factor_factory(block_size, arrow_width)
     try:
         return _REGISTRY[name]
     except KeyError:
         raise ValueError(
             f"unknown linear_solver {name!r}; available: "
-            f"{sorted(_REGISTRY) + ['schur_block_tridiag']}"
+            f"{sorted(_REGISTRY) + ['schur_arrow', 'schur_block_tridiag']}"
         ) from None

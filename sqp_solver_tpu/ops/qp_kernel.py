@@ -784,12 +784,8 @@ def _admm_core(
                 return admm_iter(*xzy, rho_vec_e)
 
             xn, zn, yn = lax.fori_loop(0, seg, it, (x, z, y))
+            x_pre, y_pre = x, y  # pre-chunk iterates for certificate deltas
             act = (done == 0.0) & (failv == 0.0) & (infs == 0.0)
-            if check_infeas:
-                cert = certificates(xn - x, yn - y)
-                # certified lanes still commit this chunk (matching the
-                # XLA tiers); only future chunks are masked off
-                infs = jnp.where(act & (cert > 0.0), cert, infs)
             if use_aa:
                 x_a, z_a, y_a, has_pairs, aa = aa_step(aa, x, z, y, xn, zn, yn)
                 sp = stats(xn, zn, yn)
@@ -822,6 +818,13 @@ def _admm_core(
                 z = jnp.where(act, zn, z)
                 y = jnp.where(act, yn, y)
                 res_prim, res_dual, max_Ax_z, max_Px_ATy_q = stats(x, z, y)
+            if check_infeas:
+                # certificates evaluate the POST-Anderson-accepted deltas
+                # (matching the XLA tiers, which run _anderson_step before
+                # the certificate check); certified lanes still commit
+                # this chunk — only future chunks are masked off
+                cert = certificates(xn - x_pre, yn - y_pre)
+                infs = jnp.where(act & (cert > 0.0), cert, infs)
             conv = (res_prim <= eps_abs + eps_rel * max_Ax_z) & (
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )

@@ -102,7 +102,9 @@ def qp_solve(
     dtype = P.dtype
     n, m = qp.n, qp.m
 
-    solver = get_linear_solver(settings.linear_solver, settings.block_size)
+    solver = get_linear_solver(
+        settings.linear_solver, settings.block_size, settings.arrow_width
+    )
     sigma = jnp.asarray(settings.sigma, dtype)
     alpha = jnp.asarray(settings.alpha, dtype)
     eps_abs = jnp.asarray(settings.eps_abs, dtype)

@@ -79,19 +79,21 @@ def qp_solve_fused(
     """Solve a batch of QPs (every leaf of ``qp`` has leading dim B).
 
     ``linear_solver="schur_cholesky"`` (default) runs the Pallas chunk
-    kernel; ``"schur_block_tridiag"`` runs the same fixed-schedule fused
-    loop with the chunk at the XLA level — vmapped block-Thomas sweeps
-    (batched small GEMMs, MXU) instead of the dense Minv matvec, so
-    structured MPC problems get the O(T b^3) factorization AND the fused
-    tier's one-sync-per-chunk schedule (the vmap tier pays a ~19 ms
-    host-synced condition per dynamic loop step through a tunneled chip).
+    kernel; the structured backends (``"schur_block_tridiag"``,
+    ``"schur_arrow"``) run the same fixed-schedule fused loop with the
+    chunk at the XLA level — vmapped block-Thomas sweeps / arrow block
+    elimination (batched small GEMMs, MXU) instead of the dense Minv
+    matvec, so structured MPC problems get the O(T b^3) factorization AND
+    the fused tier's one-sync-per-chunk schedule (the vmap tier pays a
+    ~19 ms host-synced condition per dynamic loop step through a tunneled
+    chip).
     """
     settings.validate()
-    structured = settings.linear_solver == "schur_block_tridiag"
+    structured = settings.linear_solver in ("schur_block_tridiag", "schur_arrow")
     if settings.linear_solver != "schur_cholesky" and not structured:
         raise ValueError(
-            "qp_solve_fused supports linear_solver='schur_cholesky' or "
-            "'schur_block_tridiag'"
+            "qp_solve_fused supports linear_solver='schur_cholesky', "
+            "'schur_block_tridiag', or 'schur_arrow'"
         )
     if settings.scaling > 0:
         raise ValueError(
@@ -119,11 +121,13 @@ def qp_solve_fused(
         return jax.tree.map(lambda v: v[:B], res)
 
     if structured:
-        _s1 = get_linear_solver("schur_block_tridiag", settings.block_size)
+        _s1 = get_linear_solver(
+            settings.linear_solver, settings.block_size, settings.arrow_width
+        )
         # batch-explicit wrappers: the backend is written per problem (its
         # factor/solve scan over stage blocks); vmap lifts each scan step
         # to a batched small GEMM — exactly the MXU-friendly form
-        solver = LinearSolverBatched = type(_s1)(
+        solver = type(_s1)(
             factor=jax.vmap(_s1.factor, in_axes=(0, 0, None, 0)),
             solve=None,
             solve_xz=jax.vmap(

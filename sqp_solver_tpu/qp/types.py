@@ -116,10 +116,16 @@ class QPSettings:
     adaptive_rho_interval: int = 25
     verbose: bool = False
     linear_solver: str = "schur_cholesky"
-    # block size for linear_solver="schur_block_tridiag" (structured KKT:
-    # the Schur matrix must be block-tridiagonal with this block size, as
-    # in stage-wise MPC — see models/mpc.py:mpc_qp_stagewise_batch)
+    # block size for the structured backends.  "schur_block_tridiag": the
+    # Schur matrix must be block-tridiagonal with this block size, as in
+    # stage-wise MPC (models/mpc.py:mpc_qp_stagewise_batch); a banded
+    # matrix of bandwidth w is covered by block_size >= w.  "schur_arrow":
+    # block size of the block-DIAGONAL leading part; the trailing
+    # `arrow_width` variables form the dense coupling border (MPC with
+    # cross-stage coupling, factor-model portfolios —
+    # models/mpc.py:mpc_qp_coupled_batch).
     block_size: int = 0
+    arrow_width: int = 0
     refine_steps: int = 0
     schedule: str = "early_exit"
     polish: bool = False
@@ -169,12 +175,19 @@ class QPSettings:
             raise ValueError("adaptive_rho_interval must be > 0")
         if self.linear_solver not in (
             "schur_cholesky", "schur_cholesky_tri", "schur_cholesky_blocked",
-            "kkt_ldlt", "cg", "schur_block_tridiag",
+            "kkt_ldlt", "cg", "schur_block_tridiag", "schur_arrow",
         ):
             raise ValueError(f"unknown linear_solver {self.linear_solver!r}")
         if self.linear_solver == "schur_block_tridiag" and self.block_size <= 0:
             raise ValueError(
                 "linear_solver='schur_block_tridiag' requires block_size > 0"
+            )
+        if self.linear_solver == "schur_arrow" and (
+            self.block_size <= 0 or self.arrow_width <= 0
+        ):
+            raise ValueError(
+                "linear_solver='schur_arrow' requires block_size > 0 and "
+                "arrow_width > 0"
             )
         if self.schedule not in ("early_exit", "fixed"):
             raise ValueError(f"schedule must be 'early_exit' or 'fixed', got {self.schedule}")

@@ -18,6 +18,7 @@ Deliberate upgrades over the reference (documented quirks):
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import jax
@@ -133,10 +134,13 @@ def sqp_solve(
         B, _, _ = lax.while_loop(cond, body, (B, jnp.asarray(1e-3, dtype), jnp.int32(0)))
         return B
 
+    # subproblem certificates off on every SQP tier (see solver_batched)
+    inner_qp_settings = dataclasses.replace(settings.qp, check_infeasibility=False)
+
     def solve_subproblem(B, grad_obj, J, lqp, uqp, qp_state):
         qp = QuadraticProblem(P=B, q=grad_obj, A=J, l=lqp, u=uqp)
         state = qp_state if settings.qp_warm_start else None
-        res = qp_solve(qp, settings.qp, state)
+        res = qp_solve(qp, inner_qp_settings, state)
         return res
 
     def merit_weight(mu_prev, p, B, grad_obj, c_val, lam_qp):

@@ -16,6 +16,7 @@ cheap elementwise work); all solver linear algebra is explicitly batched.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import jax
@@ -196,23 +197,28 @@ def sqp_solve_fused(
         )
         return jnp.where((sr < eps)[:, None, None], Bm, B_new)
 
+    # Subproblem infeasibility certificates are disabled BY CONSTRUCTION
+    # on every SQP tier (the fused SQP-step kernel does not evaluate
+    # them, and a transiently-certified linearized subproblem truncating
+    # early would make tiers diverge); `check_infeasibility` is a
+    # QP-level feature.
+    inner_qp_settings = dataclasses.replace(settings.qp, check_infeasibility=False)
+
     def solve_subproblem(Bm, grad_obj, J, lqp, uqp, qp_state):
+        # (qp_impl == "kernel" never reaches here: sqp_solve_fused
+        # delegates that tier to sqp_solve_kernel_fused at entry)
         qp = QuadraticProblem(P=Bm, q=grad_obj, A=J, l=lqp, u=uqp)
         state = qp_state if settings.qp_warm_start else None
-        if settings.qp_impl == "kernel":
-            from sqp_solver_tpu.ops.qp_kernel import qp_solve_kernel
-
-            inner = qp_solve_kernel
-        else:
-            inner = qp_solve_fused
-        if settings.qp.scaling > 0:
+        if inner_qp_settings.scaling > 0:
             # per-problem Ruiz equilibration of every subproblem (the inner
             # solve runs scaled; the result is unscaled + rescored against
             # the true subproblem residuals — see qp.scaling)
             from sqp_solver_tpu.qp.scaling import solve_with_scaling
 
-            return solve_with_scaling(inner, qp, settings.qp, state)
-        return inner(qp, settings.qp, state)
+            return solve_with_scaling(
+                qp_solve_fused, qp, inner_qp_settings, state
+            )
+        return qp_solve_fused(qp, inner_qp_settings, state)
 
     def merit_weight(mu_prev, p, Bm, grad_obj, c_val, lam_qp):
         return common.merit_weight(

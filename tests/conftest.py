@@ -11,6 +11,21 @@ reference goldens.
 import os
 import sys
 
+# The full suite compiles/deserializes ~hundreds of XLA CPU executables in
+# one process; each load adds JIT-code mappings, and the process crosses
+# the default vm.max_map_count (65530) right at the suite's tail — XLA then
+# SEGFAULTS on the failed mmap inside executable (de)serialization
+# (measured: ~50k maps at minute 6, ~100 maps/s growth; crash always in
+# compilation_cache get/put on the final test).  Raise the sysctl when
+# possible (container runs as root); harmless no-op otherwise.
+try:
+    with open("/proc/sys/vm/max_map_count") as _f:
+        if int(_f.read()) < 262144:
+            with open("/proc/sys/vm/max_map_count", "w") as _g:
+                _g.write("1048576")
+except (OSError, PermissionError, ValueError):
+    pass
+
 os.environ["JAX_PLATFORMS"] = "cpu"  # hard override: the ambient env may point at TPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

