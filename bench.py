@@ -352,7 +352,11 @@ def main():
     # O((Tb + c)^3).
     from sqp_solver_tpu.models.mpc import mpc_qp_coupled_batch
 
-    Ba, Ag, Hz = 128, 24, 16
+    # shape probed on-device (scripts/arrowprobe.py): the structure pays in
+    # the factor phase, so many small blocks (48 agents, b=16) on a large n
+    # is where arrow beats dense; at small n the MXU-dense default wins and
+    # is the recommended backend (see _arrow_factor_factory docstring)
+    Ba, Ag, Hz = 64, 48, 16
     qp_a, blk_a, cw = mpc_qp_coupled_batch(Ba, agents=Ag, horizon=Hz, dtype=jnp.float32)
     jax.block_until_ready(qp_a)
     arrow_rows = (

@@ -113,11 +113,18 @@ def _schur_factor(P, A, sigma, rho_vec):
         # destroys the cancellation structure of z - y/rho — measured 4e-2
         # final error on the tight Rosenbrock conformance run vs 1e-13 with
         # the rho-free fusion.
-        G2 = hmat(Minv, A.mT)
-        W_top = jnp.concatenate([Minv, G2], axis=-1)
-        W_bot = jnp.concatenate([hmat(A, Minv), hmat(A, G2)], axis=-1)
-        W = jnp.concatenate([W_top, W_bot], axis=-2)
+        W = _fused_admm_operator(Minv, A)
     return {"W": W, "Minv": Minv, "M": M, "diag_nan": jnp.any(jnp.isnan(L))}
+
+
+def _fused_admm_operator(Minv, A):
+    """[[G1, G2], [A G1, A G2]] with G1 = M^-1, G2 = M^-1 A' — see the
+    comment in :func:`_schur_factor`.  Shared by every backend that keeps
+    an explicit Minv (dense default, ``schur_arrow``)."""
+    G2 = hmat(Minv, A.mT)
+    W_top = jnp.concatenate([Minv, G2], axis=-1)
+    W_bot = jnp.concatenate([hmat(A, Minv), hmat(A, G2)], axis=-1)
+    return jnp.concatenate([W_top, W_bot], axis=-2)
 
 
 def _schur_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
@@ -533,26 +540,33 @@ def _arrow_factor_factory(b: int, c: int):
         M = [[D, B], [B', C]]   with D = blkdiag(D_1..D_T), D_k (b, b),
                                  C (c, c) dense (the coupling border).
 
-    Factor cost O(T b^3 + T b^2 c + c^3) instead of dense O((Tb + c)^3);
-    per-iteration solves are three batched small matmuls, O(T b^2 + T b c
-    + c^2).  Entries of M outside the arrow pattern are IGNORED (the
+    Entries of M outside the arrow pattern are IGNORED (the
     block-masked-dense contract, same as ``schur_block_tridiag``): the
     caller must guarantee the structure — e.g. stage-wise problems whose
     only cross-stage coupling runs through the trailing ``c`` variables.
 
-    Everything is precomputed as explicit inverses (the hot ADMM loop
-    then costs matvecs only, matching the dense default's design):
+    Design (TPU-measured): an earlier version kept the factorization in
+    block form and ran the hot ADMM solve as a chain of per-block einsums
+    (Dinv matvec -> border correction -> back-substitution).  On TPU that
+    LOSES to the dense backend at every tested shape — the per-iteration
+    chain puts the b-sized axis on lanes (b << 128 => lane-starved ops,
+    one dispatch per einsum), and at b >= 32 the uncorrected f32 block
+    inverses degraded convergence outright (solved 0.58 at n=770).  The
+    structure is therefore exploited ONLY where it mathematically matters
+    — the factorization — via the closed-form bordered inverse
 
-        Dinv_k = D_k^-1                    (T, b, b)  batched Cholesky
-        W_k    = Dinv_k B_k                (T, b, c)
-        S      = C - B' D^-1 B = C - sum_k B_k' W_k    (c, c)
-        Sinv   = S^-1 (Cholesky + Newton-Schulz)
+        Dinv = blkdiag(D_k^-1)        (batched (T,b,b) Cholesky: the
+                                       sequential dependency depth drops
+                                       from n to b)
+        W    = Dinv B,  S = C - B' W,  X = W Sinv
+        M^-1 = [[Dinv + X W', -X], [-X', Sinv]]
 
-    Solve of M [x_d; x_c] = [v_d; v_c] by block elimination:
-
-        t   = Dinv v_d          (batched matvec)
-        x_c = Sinv (v_c - B' t)
-        x_d = t - W x_c
+    assembled into the SAME dense explicit-inverse + fused-operator form
+    the default backend uses (one full Newton-Schulz against M restores
+    near-backsolve f32 accuracy).  The hot loop is then the identical
+    single-matvec fast path — arrow pays dense iteration cost but
+    O(T b^3 + n^2 c) + MXU-matmul factor cost instead of a depth-n
+    Cholesky/triangular-inverse chain.
     """
 
     def factor(P, A, sigma, rho_vec):
@@ -561,6 +575,7 @@ def _arrow_factor_factory(b: int, c: int):
             n = M.shape[-1]
             T = (n - c) // b
             nd = T * b
+            hp = lax.Precision.HIGHEST
             Dblk = M[:nd, :nd].reshape(T, b, T, b)[
                 jnp.arange(T), :, jnp.arange(T), :
             ]  # (T, b, b)
@@ -572,63 +587,59 @@ def _arrow_factor_factory(b: int, c: int):
             Li = jax.vmap(
                 lambda Lk: jax.scipy.linalg.solve_triangular(Lk, eye_b, lower=True)
             )(Ld)
+            Dinv = jnp.einsum("tij,tik->tjk", Li, Li, precision=hp)
+            # per-block Newton-Schulz (batched (T,b,b) matmuls, cheap):
+            # the composed bordered inverse inherits every block's error,
+            # so each factor is corrected before composition AND the
+            # assembled whole is corrected once more below
             Dinv = jnp.einsum(
-                "tij,tik->tjk", Li, Li, precision=lax.Precision.HIGHEST
-            )  # Li' Li = D_k^-1
-            W = jnp.einsum(
-                "tij,tjc->tic", Dinv, Bblk, precision=lax.Precision.HIGHEST
-            )  # (T, b, c)
-            S = C - jnp.einsum(
-                "tbc,tbd->cd", Bblk, W, precision=lax.Precision.HIGHEST
+                "tij,tjk->tik",
+                Dinv,
+                2.0 * eye_b
+                - jnp.einsum("tij,tjk->tik", Dblk, Dinv, precision=hp),
+                precision=hp,
             )
+            W = jnp.einsum("tij,tjc->tic", Dinv, Bblk, precision=hp)
+            S = C - jnp.einsum("tbc,tbd->cd", Bblk, W, precision=hp)
             Ls = jnp.linalg.cholesky(S)
             Lsi = jax.scipy.linalg.solve_triangular(
                 Ls, jnp.eye(c, dtype=M.dtype), lower=True
             )
             Sinv = hmat(Lsi.T, Lsi)
-            # one Newton-Schulz step on the border inverse (f32 accuracy)
             Sinv = hmat(Sinv, 2.0 * jnp.eye(c, dtype=M.dtype) - hmat(S, Sinv))
+            X = jnp.einsum("tbc,cd->tbd", W, Sinv, precision=hp)  # W Sinv
+
+            # assemble the dense bordered inverse
+            TL = (
+                jnp.zeros((T, b, T, b), M.dtype)
+                .at[jnp.arange(T), :, jnp.arange(T), :]
+                .set(Dinv)
+                .reshape(nd, nd)
+            )
+            TL = TL + jnp.einsum("tic,ujc->tiuj", X, W, precision=hp).reshape(
+                nd, nd
+            )
+            Xf = X.reshape(nd, c)
+            Minv = jnp.concatenate(
+                [
+                    jnp.concatenate([TL, -Xf], axis=-1),
+                    jnp.concatenate([-Xf.T, Sinv], axis=-1),
+                ],
+                axis=-2,
+            )
+            # One full Newton-Schulz step against M (two MXU matmuls):
+            # contracts the composed block-inverse error quadratically —
+            # without it, f32 runs at b >= 32 stall (see docstring).
+            Minv = hmat(Minv, 2.0 * jnp.eye(n, dtype=M.dtype) - hmat(M, Minv))
+            Wop = _fused_admm_operator(Minv, A)
         return {
-            "Dinv": Dinv,
-            "W": W,
-            "B": Bblk,
-            "Sinv": Sinv,
+            "W": Wop,
+            "Minv": Minv,
             "M": M,
             "diag_nan": jnp.any(jnp.isnan(Ld)) | jnp.any(jnp.isnan(Ls)),
         }
 
-    def solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
-        bvec = rhs1 + _mv(A.mT, rho_vec * rhs2)
-        n = bvec.shape[-1]
-        T = (n - c) // b
-        nd = T * b
-
-        def arrow_solve(v):
-            vd = v[:nd].reshape(T, b)
-            vc = v[nd:]
-            t = jnp.einsum(
-                "tij,tj->ti", factor["Dinv"], vd, precision=lax.Precision.HIGHEST
-            )
-            xc = _mv(
-                factor["Sinv"],
-                vc - jnp.einsum(
-                    "tbc,tb->c", factor["B"], t, precision=lax.Precision.HIGHEST
-                ),
-            )
-            xd = t - jnp.einsum(
-                "tbc,c->tb", factor["W"], xc, precision=lax.Precision.HIGHEST
-            )
-            return jnp.concatenate([xd.reshape(nd), xc])
-
-        x = arrow_solve(bvec)
-        for _ in range(refine_steps):
-            x = x + arrow_solve(bvec - _mv(factor["M"], x))
-        return x
-
-    def is_failure(factor):
-        return factor["diag_nan"]
-
-    return LinearSolver(factor, solve, _fallback_solve_xz(solve), is_failure)
+    return LinearSolver(factor, _schur_solve, _schur_solve_xz, _schur_is_failure)
 
 
 def _fallback_solve_xz(solve):

@@ -156,13 +156,25 @@ def kkt_solve_schur_refined(
 
         x = jnp.zeros_like(r1) if x0 is None else x0
         nu = jnp.zeros_like(r2) if nu0 is None else jnp.where(act, nu0, 0.0)
+        # Stacked-operand sweep form: the textbook sweep is 6 batched
+        # matvecs (P x, Ã x, Ã'nu, Ã'res2, M⁻¹·, Ã dx) issued as separate
+        # XLA ops — at bench shapes each op carries a fixed ~0.3-0.4 ms
+        # dispatch/layout cost that dominates the (bandwidth-trivial)
+        # FLOPs.  Stacking S = [P; Ã] yields P·v and Ã·v in ONE contraction,
+        # the two transpose-applications merge via Ã'(nu - res2/d), and
+        # carrying w = S x across sweeps (linear update w += S dx) removes
+        # the re-evaluation — 3 matvecs/sweep, identical mathematics.
+        S = jnp.concatenate([P, A_m], axis=-2)
+        w = _mv(S, x)
         for _ in range(sweeps):
-            res1 = r1 - (_mv(P, x) + _mtv(A_m, nu))
-            res2 = jnp.where(act, r2 - _mv(A_m, x), 0.0)
-            dx = solveM(res1 + (1.0 / d_c) * _mtv(A_m, res2))
-            dnu = jnp.where(act, (_mv(A_m, dx) - res2) / d_c, 0.0)
+            res2 = jnp.where(act, r2 - w[..., n:], 0.0)
+            dx = solveM(
+                r1 - w[..., :n] - _mtv(A_m, nu - (1.0 / d_c) * res2)
+            )
+            dw = _mv(S, dx)
+            nu = nu + jnp.where(act, (dw[..., n:] - res2) / d_c, 0.0)
             x = x + dx
-            nu = nu + dnu
+            w = w + dw
     return x, nu, fail
 
 
