@@ -169,6 +169,47 @@ class TestArrow:
         assert (np.asarray(out.info.status) == 0).all()
         np.testing.assert_allclose(np.asarray(out.x), np.asarray(ref.x), atol=1e-6)
 
+    def test_f32_large_blocks_converge(self):
+        """f32 robustness at b=32 blocks: the composed bordered inverse
+        without Newton-Schulz correction (per block + border + once
+        against full M) stalled ADMM outright on TPU (solved 0.58 at
+        n=770, measured round 3 — see _arrow_factor_factory docstring).
+        Pin that the corrected factorization matches the dense backend's
+        convergence in f32."""
+        from sqp_solver_tpu.models.mpc import mpc_qp_coupled_batch
+
+        qp, b, c = mpc_qp_coupled_batch(
+            8, agents=6, horizon=32, dtype=jnp.float32
+        )
+        s = QPSettings(
+            adaptive_rho=True, max_iter=1000,
+            linear_solver="schur_arrow", block_size=b, arrow_width=c,
+        )
+        dense = qp_solve_batch(
+            qp, QPSettings(adaptive_rho=True, max_iter=1000)
+        )
+        arrow = qp_solve_batch(qp, s)
+        assert np.all(np.asarray(arrow.info.status) == QPStatus.SOLVED)
+        # convergence speed must match dense (the stall showed up as a
+        # 8-16x iteration blowup long before outright failure)
+        assert np.all(
+            np.asarray(arrow.info.iter) <= 2 * np.asarray(dense.info.iter)
+        )
+        # at h=32 the long-horizon tracking objective is nearly flat in
+        # the rendezvous coordinates, so eps=1e-3 solves from different
+        # iterate paths land at visibly different near-optima — compare
+        # objective value + feasibility, not iterates
+        def objective(x):
+            Px = np.einsum("bij,bj->bi", np.asarray(qp.P, np.float64), x)
+            return 0.5 * np.sum(x * Px, -1) + np.sum(np.asarray(qp.q) * x, -1)
+
+        xa = np.asarray(arrow.x, np.float64)
+        xd = np.asarray(dense.x, np.float64)
+        np.testing.assert_allclose(objective(xa), objective(xd), rtol=1e-2, atol=1e-3)
+        Ax = np.einsum("bmn,bn->bm", np.asarray(qp.A, np.float64), xa)
+        viol = np.maximum(Ax - np.asarray(qp.u), np.asarray(qp.l) - Ax)
+        assert viol.max() < 5e-3
+
     def test_validation(self):
         with pytest.raises(ValueError):
             QPSettings(linear_solver="schur_arrow", block_size=4).validate()
