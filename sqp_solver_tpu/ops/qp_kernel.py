@@ -72,7 +72,7 @@ from sqp_solver_tpu.qp.types import (
 
 __all__ = [
     "qp_solve_kernel", "sqp_step_kernel", "pick_lane_tile",
-    "spd_inverse_kernel",
+    "spd_inverse_kernel", "polish_kkt_kernel",
 ]
 
 # column/row block for the shrinking factorization loops: large enough to
@@ -360,6 +360,7 @@ def _factor_schur(P, A, rho_vec, sigma, eye_n):
 
 def _factor_schur_refs(
     p_row, A_col, SA, sigma, w_ref, l_ref, li_ref, cb=_FACTOR_BLOCK,
+    ltl=True,
 ):
     """Ref-based Minv construction — the fast path.
 
@@ -392,13 +393,19 @@ def _factor_schur_refs(
         return 0
 
     lax.fori_loop(0, n, m_row, 0)
-    return _chol_inv_ltl(w_ref, l_ref, li_ref, cb)
+    return _chol_inv_ltl(w_ref, l_ref, li_ref, cb, ltl=ltl)
 
 
-def _chol_inv_ltl(w_ref, l_ref, li_ref, cb=_FACTOR_BLOCK):
+def _chol_inv_ltl(w_ref, l_ref, li_ref, cb=_FACTOR_BLOCK, ltl=True):
     """In-place SPD inverse of the matrix in ``w_ref``: panel-blocked
     Cholesky into ``l_ref``, row-wise triangular inverse into ``li_ref``,
     LᵀL rows back into ``w_ref``.  Returns the fail row (clamped pivot).
+
+    ``ltl=False`` stops after the triangular inverse (``li_ref`` holds
+    L^-1, ``w_ref`` holds the Cholesky-consumed junk): callers that only
+    APPLY the inverse a few times (the polish sweeps) use Li'(Li t) —
+    two full-array passes per apply (~0.02 ms each at n=128 TL=128)
+    instead of the n-trip LᵀL build loop (~1.5-2 ms).
 
     NOTE round-3 measurement: restricting the Gram/inverse/LtL passes to
     their triangular supports (block-sliced prefixes) REGRESSED 7.5 ->
@@ -462,6 +469,9 @@ def _chol_inv_ltl(w_ref, l_ref, li_ref, cb=_FACTOR_BLOCK):
         return 0
 
     lax.fori_loop(0, n, inv_row, 0)
+
+    if not ltl:
+        return fail
 
     # ---- Minv = Li'Li, row by row, into w_ref --------------------------
     def ltl_row(i, _):
@@ -550,6 +560,161 @@ def spd_inverse_kernel(Mt, interpret: bool = False):
     if pad:
         Minv, fail = Minv[..., :B], fail[..., :B]
     return Minv, fail[0]
+
+
+def _polish_kkt_body(
+    H_ref, Jm_ref, act_ref, r1_ref, b_ref, nu0_ref,
+    dx_ref, nu_ref, fail_ref, w_ref, l_ref, li_ref,
+    *, delta, sweeps,
+):
+    """One whole active-set KKT polish solve per lane (transposed layout).
+
+    Same mathematics as qp.polish.kkt_solve_schur_refined with x0=0:
+    L^-1 of M = H + delta I + (1/delta) Jm'Jm via the ref-based factor
+    path, then `sweeps` ideal-operator refinement sweeps applying the
+    preconditioner as Li'(Li t) — all in ONE kernel, so the (B, n, n)
+    Hessian/Jacobian relayouts and the ~20 XLA-level dispatches per pass
+    (each ~0.3-0.4 ms fixed cost at bench shapes) disappear.  No
+    Newton-Schulz correction is needed: the in-kernel triangular inverse
+    is backsolve-grade, and the sweeps absorb its O(eps) error exactly
+    like the delta bias.
+    """
+    inv_d = 1.0 / delta  # python scalar: weak-typed, preserves dtype
+    act = act_ref[:]   # (m, TL) f32 0/1 active mask
+    r1 = r1_ref[:]     # (n, TL)
+    b = b_ref[:]       # (m, TL) active-row targets (zero on inactive)
+    Jm = Jm_ref[:]     # (m, n, TL) active-masked Jacobian
+
+    # L^-1 of M = H + delta I + (1/delta) Jm'Jm -> li_ref; the 1/delta
+    # Gram scaling rides the A_col reads so Jm*inv_d is never
+    # materialized.  ltl=False: the sweeps apply Minv as Li'(Li t) — two
+    # full-array passes per sweep beat the n-trip LtL build loop
+    fail = _factor_schur_refs(
+        lambda r: H_ref[r],
+        lambda c: Jm_ref[:, c] * inv_d,
+        Jm,
+        delta, w_ref, l_ref, li_ref, ltl=False,
+    )
+
+    H = H_ref[:]
+    # carries derived from input data, never jnp.full: Mosaic pins
+    # replicated layouts on full-init carries (round-2 gotcha)
+    x = 0.0 * r1
+    nu = nu0_ref[:] * act
+    w_n = 0.0 * r1   # running H x
+    w_m = 0.0 * b    # running Jm x
+
+    def sweep(_, carry):
+        x, nu, w_n, w_m = carry
+        res2 = act * (b - w_m)
+        t = r1 - w_n - jnp.sum(Jm * (nu - inv_d * res2)[:, None, :], axis=0)
+        v = jnp.sum(li_ref[...] * t[None, :, :], axis=1)   # Li t
+        dx = jnp.sum(li_ref[...] * v[:, None, :], axis=0)  # Li' v = Minv t
+        dw_n = jnp.sum(H * dx[None, :, :], axis=1)
+        dw_m = jnp.sum(Jm * dx[None, :, :], axis=1)
+        nu = nu + act * inv_d * (dw_m - res2)
+        return x + dx, nu, w_n + dw_n, w_m + dw_m
+
+    x, nu, w_n, w_m = lax.fori_loop(0, sweeps, sweep, (x, nu, w_n, w_m))
+    dx_ref[:] = x
+    nu_ref[:] = nu
+    fail_ref[:] = fail
+
+
+@functools.partial(
+    jax.jit, static_argnames=("delta", "sweeps", "lane_tile", "interpret")
+)
+def _polish_kkt_call(Ht, Jmt, actt, r1t, bt, nu0t, *, delta, sweeps,
+                     lane_tile, interpret):
+    n = Ht.shape[0]
+    m = Jmt.shape[0]
+    B = Ht.shape[-1]
+
+    def spec(*lead):
+        return pl.BlockSpec(
+            lead + (lane_tile,),
+            lambda i: (0,) * len(lead) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    return pl.pallas_call(
+        functools.partial(_polish_kkt_body, delta=delta, sweeps=sweeps),
+        grid=(B // lane_tile,),
+        in_specs=[spec(n, n), spec(m, n), spec(m), spec(n), spec(m), spec(m)],
+        out_specs=(spec(n), spec(m), spec(1)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B), Ht.dtype),
+            jax.ShapeDtypeStruct((m, B), Ht.dtype),
+            jax.ShapeDtypeStruct((1, B), Ht.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, n, lane_tile), Ht.dtype),
+            pltpu.VMEM((n, n, lane_tile), Ht.dtype),
+            pltpu.VMEM((n, n, lane_tile), Ht.dtype),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (n * n * n * 2 + m * n * n + sweeps * 4 * n * n),
+            bytes_accessed=B * (2 * n * n + m * n) * 4,
+            transcendentals=B * n,
+        ),
+    )(Ht, Jmt, actt, r1t, bt, nu0t)
+
+
+def polish_kkt_kernel(
+    Ht, Jmt, actt, r1t, bt, nu0t,
+    delta: float = 1e-2,
+    sweeps: int = 6,
+    interpret: bool = False,
+):
+    """Batched active-set KKT polish solve in kernel layout.
+
+    Inputs: ``Ht (n, n, B)`` Lagrangian Hessian, ``Jmt (m, n, B)``
+    active-masked Jacobian, ``actt (m, B)`` 0/1 active mask, ``r1t (n,
+    B)`` stationarity rhs (``-grad_f``), ``bt (m, B)`` active-row
+    targets, ``nu0t (m, B)`` multiplier warm start.  Returns ``(dx_t (n,
+    B), nu_t (m, B), fail (B,))`` — the Newton step from x (x0 = 0 in
+    the sweeps), the polished multipliers on active rows, and the
+    clamped-pivot flag.  Semantics match
+    ``qp.polish.kkt_solve_schur_refined(H, Jm, act, r1, b, nu0=nu0)``
+    (parity-tested by tests/test_polish.py).
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True
+    n = Ht.shape[0]
+    m = Jmt.shape[0]
+    B = Ht.shape[-1]
+    # live set: H + Jm operands (double-buffered), 3 factor scratch,
+    # H/Jm values during sweeps
+    per_lane = 4 * (5 * n * n + 3 * m * n + 16 * (n + m))
+    tl = 128
+    while tl > 8 and per_lane * tl > _VMEM_CAP:
+        tl //= 2
+    pad = (-B) % tl
+    if pad:
+        eye_pad = jnp.broadcast_to(jnp.eye(n, dtype=Ht.dtype)[:, :, None],
+                                   (n, n, pad))
+        Ht = jnp.concatenate([Ht, eye_pad], axis=-1)
+        Jmt = jnp.concatenate([Jmt, jnp.zeros((m, n, pad), Ht.dtype)], axis=-1)
+        actt = jnp.concatenate([actt, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
+        r1t = jnp.concatenate([r1t, jnp.zeros((n, pad), Ht.dtype)], axis=-1)
+        bt = jnp.concatenate([bt, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
+        nu0t = jnp.concatenate([nu0t, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
+    call = functools.partial(
+        _polish_kkt_call, delta=delta, sweeps=sweeps, lane_tile=tl,
+        interpret=interpret,
+    )
+    if tl < 128 and not interpret:
+        dx_t, nu_t, fail = _chunked_lanes(
+            lambda *a: call(*a), (Ht, Jmt, actt, r1t, bt, nu0t),
+            Ht.shape[-1], tl,
+        )
+    else:
+        dx_t, nu_t, fail = call(Ht, Jmt, actt, r1t, bt, nu0t)
+    if pad:
+        dx_t, nu_t, fail = dx_t[..., :B], nu_t[..., :B], fail[..., :B]
+    return dx_t, nu_t, fail[0]
 
 
 def _rho_from(rho_scalar, loose, equality):

@@ -30,6 +30,7 @@ __all__ = [
     "line_search_scan",
     "line_search_while",
     "polish_nlp",
+    "polish_nlp_t",
     "replay_trace",
 ]
 
@@ -239,6 +240,87 @@ def polish_nlp(
         x_out = jnp.where(better[..., None], x_pol, x_out)
         lam_out = jnp.where(better[..., None], lam_pol, lam_out)
         # status refresh: judge the FINAL point against the KKT tolerances
+        stat_f = jnp.where(better, stat_p, stat_o)
+        viol_f = jnp.where(better, viol_p, viol_o)
+        kkt_rescued = (stat_f <= settings.eps_dual) & (viol_f <= settings.eps_prim)
+    return x_out, lam_out, kkt_rescued
+
+
+def polish_nlp_t(
+    x_out,
+    lam_out,
+    l,
+    u,
+    f_lin,
+    c_lin_t,
+    hess_fn_t,
+    settings,
+    interpret: bool = False,
+):
+    """Transposed-layout polish epilogue — the kernel tier's form of
+    :func:`polish_nlp`.
+
+    Identical algorithm (``polish_passes`` Newton-KKT steps on the
+    guessed active set, per-problem lexicographic accept, status
+    refresh), but the Jacobian and Hessian never leave the kernel's
+    (..., B)-minor layout: each pass's whole KKT solve (Gram + Cholesky
+    + triangular inverse + refinement sweeps) runs as ONE Pallas call
+    (:func:`sqp_solver_tpu.ops.qp_kernel.polish_kkt_kernel`).  Measured
+    at n=128 B=1024: the batch-first epilogue paid two (B, n, n)-scale
+    relayouts plus ~20 XLA dispatches per pass — the dominant cost of
+    the whole bench config after round 3's factorization work.
+
+    Tier adapters:
+      * ``f_lin(x) -> (obj, grad)`` with batch-first vectors
+      * ``c_lin_t(x) -> (c (B, m), J_t (m, n, B))`` — kernel layout
+      * ``hess_fn_t(x, lam) -> (n, n, B)`` true Lagrangian Hessian in
+        kernel layout, NaN fallback already applied
+
+    Returns ``(x, lam, kkt_rescued)`` exactly like :func:`polish_nlp`
+    (parity asserted by tests/test_polish.py).
+    """
+    from sqp_solver_tpu.ops.qp_kernel import polish_kkt_kernel
+    from sqp_solver_tpu.qp.polish import guess_active_set
+
+    def stat_of(g, Jt, ll):
+        return _linf(
+            g + jnp.einsum("mnb,bm->bn", Jt, ll, precision=lax.Precision.HIGHEST)
+        )
+
+    batch_shape = x_out.shape[:-1]
+    dtype = x_out.dtype
+    kkt_rescued = jnp.zeros(batch_shape, jnp.bool_)
+    stat_f = viol_f = None
+    for _pol_pass in range(settings.polish_passes):
+        _, grad_f = f_lin(x_out)
+        c_f, J_t = c_lin_t(x_out)  # (B, m), (m, n, B)
+        act, b_t = guess_active_set(l - c_f, u - c_f, lam_out)
+        H_t = hess_fn_t(x_out, lam_out)  # (n, n, B)
+        act_t = act.T.astype(dtype)  # (m, B)
+        Jm_t = J_t * act_t[:, None, :]
+        dx_t, nu_t, fail_row = polish_kkt_kernel(
+            H_t, Jm_t, act_t, -grad_f.T, b_t.T, lam_out.T, interpret=interpret
+        )
+        fail_pol = fail_row > 0.5  # kernel emits an f32 0/1 row
+        x_pol = x_out + dx_t.T
+        lam_pol = jnp.where(act, nu_t.T, 0.0)
+
+        bad = jnp.isnan(x_pol).any(-1) | jnp.isnan(lam_pol).any(-1) | fail_pol
+        _, g_p = f_lin(x_pol)
+        c_p, J_p = c_lin_t(x_pol)
+        stat_p = stat_of(g_p, J_p, lam_pol)
+        viol_p = max_violation(c_p, l, u)
+        if _pol_pass == 0:
+            stat_o = stat_of(grad_f, J_t, lam_out)
+            viol_o = max_violation(c_f, l, u)
+        else:
+            # the previous pass already scored the accepted point
+            stat_o, viol_o = stat_f, viol_f
+        better = (jnp.maximum(stat_p, viol_p) < jnp.maximum(stat_o, viol_o)) & (
+            ~bad
+        )
+        x_out = jnp.where(better[..., None], x_pol, x_out)
+        lam_out = jnp.where(better[..., None], lam_pol, lam_out)
         stat_f = jnp.where(better, stat_p, stat_o)
         viol_f = jnp.where(better, viol_p, viol_o)
         kkt_rescued = (stat_f <= settings.eps_dual) & (viol_f <= settings.eps_prim)

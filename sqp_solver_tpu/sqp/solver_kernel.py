@@ -462,21 +462,22 @@ def sqp_solve_kernel_fused(
 
     x_out, lam_out = final.x, final.lam
     if settings.polish:
-        # shared multi-pass Newton-KKT polish (sqp.common.polish_nlp) with
-        # the TRUE Lagrangian Hessian, solved by the Schur-preconditioned
-        # ideal-refined KKT solve.  (The previous in-kernel (n+m)^2 LDL'
-        # was a pathological Mosaic compile at n=128 — D=257 shrinking
-        # panels took >30 min.)  The tier's transposed-layout callables
-        # are adapted to the batch-first layout the shared polish expects;
-        # this single moveaxis per pass is off the hot loop.
+        # shared multi-pass Newton-KKT polish in TRANSPOSED layout
+        # (sqp.common.polish_nlp_t) with the TRUE Lagrangian Hessian:
+        # each pass's whole KKT solve runs as one Pallas call
+        # (ops.qp_kernel.polish_kkt_kernel), so J/H never leave the
+        # kernel layout — the previous batch-first epilogue paid two
+        # (B, n, n)-scale relayouts + ~20 XLA dispatches per pass.
+        # (An in-kernel (n+m)^2 LDL' remains off the table: D=257
+        # shrinking panels were a pathological >30-min Mosaic compile;
+        # the Schur-preconditioned form factors only n x n.)
         def f_lin_u(xx):
             return call(f_lin_b, xx)
 
-        def c_lin_u(xx):
-            cv, Jt_ = call(c_lin_b, xx)  # (B, m), (m, n, B)
-            return cv, jnp.moveaxis(Jt_, -1, 0)
+        def c_lin_t_u(xx):
+            return call(c_lin_b, xx)  # (B, m), (m, n, B)
 
-        def hess_u(xx, ll):
+        def hess_t_u(xx, ll):
             if problem.lagrangian_hessian_t is not None:
                 # layout-native hook (see NonlinearProblem docs)
                 H_t = problem.lagrangian_hessian_t(xx, ll, params)
@@ -490,14 +491,13 @@ def sqp_solve_kernel_fused(
                 H_t = jax.vmap(
                     jax.hessian(lagr, argnums=0), in_axes=(0, 0), out_axes=-1
                 )(xx, ll)
-            # NaN fallback to the BFGS estimate IN TRANSPOSED LAYOUT, so
-            # only one (B, n, n) relayout ever happens
+            # NaN fallback to the BFGS estimate, all in transposed layout
             H_bad = jnp.isnan(H_t).any(axis=(0, 1))  # (B,)
-            H_t = jnp.where(H_bad[None, None, :], final.Bt, H_t)
-            return jnp.moveaxis(H_t, -1, 0)  # (B, n, n)
+            return jnp.where(H_bad[None, None, :], final.Bt, H_t)
 
-        x_out, lam_out, kkt_rescued = common.polish_nlp(
-            x_out, lam_out, l, u, f_lin_u, c_lin_u, hess_u, settings
+        x_out, lam_out, kkt_rescued = common.polish_nlp_t(
+            x_out, lam_out, l, u, f_lin_u, c_lin_t_u, hess_t_u, settings,
+            interpret=interpret,
         )
     else:
         kkt_rescued = jnp.zeros((B,), jnp.bool_)

@@ -95,3 +95,96 @@ def test_sqp_polish_parity_per_problem_vs_batched():
     np.testing.assert_allclose(
         np.asarray(per.x)[both], np.asarray(fused.x)[both], atol=2e-5
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_polish_kkt_kernel_matches_schur_refined(dtype):
+    """The in-kernel whole-pass polish solve (ops.qp_kernel.polish_kkt_kernel)
+    is the same mathematics as qp.polish.kkt_solve_schur_refined with x0=0:
+    same Schur preconditioner, same ideal-operator sweeps.  (The kernel skips
+    the Newton-Schulz step — its triangular inverse is backsolve-grade — so
+    agreement is to sweep-converged accuracy, not bitwise.)"""
+    from sqp_solver_tpu.ops.qp_kernel import polish_kkt_kernel
+    from sqp_solver_tpu.qp.polish import kkt_solve_schur_refined
+
+    B, n, m = 12, 10, 13
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    G = jax.random.normal(k1, (B, n, n), dtype)
+    H = jnp.einsum("bij,bkj->bik", G, G) + 0.5 * jnp.eye(n, dtype=dtype)
+    J = jax.random.normal(k2, (B, m, n), dtype)
+    act = jax.random.uniform(k3, (B, m)) < 0.5
+    J_m = jnp.where(act[..., None], J, 0.0)
+    r1 = jax.random.normal(k4, (B, n), dtype)
+    b = jnp.where(act, jax.random.normal(k5, (B, m), dtype), 0.0)
+    nu0 = jnp.zeros((B, m), dtype)
+
+    x_ref, nu_ref, fail_ref = kkt_solve_schur_refined(
+        H, J_m, act, r1, b, nu0=nu0
+    )
+    dx_t, nu_t, fail_k = polish_kkt_kernel(
+        jnp.moveaxis(H, 0, -1),
+        jnp.moveaxis(J_m, 0, -1),
+        act.T.astype(dtype),
+        r1.T,
+        b.T,
+        nu0.T,
+    )
+    assert not np.asarray(fail_ref).any()
+    assert not (np.asarray(fail_k) > 0.5).any()
+    tol = 1e-5 if dtype == jnp.float32 else 1e-10
+    np.testing.assert_allclose(np.asarray(dx_t.T), np.asarray(x_ref),
+                               atol=tol, rtol=tol)
+    np.testing.assert_allclose(
+        np.asarray(jnp.where(act, nu_t.T, 0.0)),
+        np.asarray(jnp.where(act, nu_ref, 0.0)),
+        atol=10 * tol, rtol=tol,
+    )
+
+
+def test_polish_nlp_t_matches_polish_nlp():
+    """The transposed-layout polish epilogue (kernel tier) must agree with
+    the batch-first one (fused tier) on the same NLP batch: same accepted
+    points, same rescue flags."""
+    import dataclasses
+
+    from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+    from sqp_solver_tpu.sqp import SQPSettings
+    from sqp_solver_tpu.sqp import common
+
+    dtype = jnp.float32
+    problem, x0 = sphere_cap_nlp_batch(16, 8, seed=3, dtype=dtype,
+                                       r_range=(0.5, 1.2))
+    B, n = x0.shape
+    params = problem.params
+    l, u = problem.l, problem.u
+    # a deliberately unconverged iterate: polish does real work
+    x = x0 + 0.3
+    lam = jnp.ones((B, l.shape[-1]), dtype)
+
+    def f_lin(xx):
+        f = lambda x_, p: problem.objective(x_, p)
+        return jax.vmap(jax.value_and_grad(f), in_axes=(0, 0))(xx, params)
+
+    def c_lin_t(xx):
+        return problem.constraint_linearized_t(xx, params)
+
+    def c_lin(xx):
+        cv, Jt = c_lin_t(xx)
+        return cv, jnp.moveaxis(Jt, -1, 0)
+
+    def hess_t(xx, ll):
+        return problem.lagrangian_hessian_t(xx, ll, params)
+
+    def hess(xx, ll):
+        return jnp.moveaxis(hess_t(xx, ll), -1, 0)
+
+    settings = SQPSettings(polish=True, polish_passes=3, eps_prim=1e-5,
+                           eps_dual=1e-5)
+    x_a, lam_a, resc_a = common.polish_nlp(x, lam, l, u, f_lin, c_lin, hess,
+                                           settings)
+    x_b, lam_b, resc_b = common.polish_nlp_t(x, lam, l, u, f_lin, c_lin_t,
+                                             hess_t, settings)
+    np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lam_b), np.asarray(lam_a), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(resc_b), np.asarray(resc_a))
