@@ -149,7 +149,10 @@ def main():
         qp_impl="kernel",
         polish=True,
         polish_passes=3,
-        line_search_max_iter=10,
+        # 5 backtracking candidates: the damped Newton steps accept at
+        # alpha=1 on this family (sweep: 10 -> 5 saved ~6 ms at n=128
+        # B=1024 with identical solved/accuracy)
+        line_search_max_iter=5,
         qp=QPSettings(
             alpha=1.6,
             eps_abs=1e-4,
@@ -176,10 +179,15 @@ def main():
 
     # min over 6 reps: the tunneled chip's throughput varies ~±20% between
     # runs on an hour scale (measured 2026-08-17: same HEAD, 48-67k range);
-    # more reps tighten the min toward the machine's true capability
+    # more reps tighten the min toward the machine's true capability.
+    # Timing keys are salted with wall-clock entropy: the relay memoizes
+    # (program, inputs) pairs ACROSS processes (observed: a repeated
+    # key+program dispatch returning in 0.1 ms), so fixed keys could time
+    # a cached replay instead of the solve.
+    salt = int(time.time_ns()) % (2**30)
     times = []
     for rep in range(1, 7):
-        key = jax.random.PRNGKey(rep)
+        key = jax.random.PRNGKey(salt + rep)
         jax.block_until_ready(key)
         t0 = time.perf_counter()
         res = solve(key)
@@ -221,6 +229,32 @@ def main():
         f"not reachable for this shape)"
     )
 
+    # ---- supplementary: n=32 scale-out (dispatch-floor amortization) -------
+    # the ~15-25 ms per-dispatch relay floor is ~half the B=4096 time;
+    # 4x the batch shows the per-solve cost the architecture actually has
+    B_big = 16384
+    build_big = make_problem_generator(B_big, N, jnp.float32)
+
+    def run_big(key):
+        problem, x0 = build_big(key)
+        return sqp_solve_batch(problem, x0, None, settings, impl="fused")
+
+    solve_big = jax.jit(run_big)
+    jax.block_until_ready(solve_big(jax.random.PRNGKey(0)).x)
+    tb = []
+    for rep in (1, 2, 3):
+        key = jax.random.PRNGKey(salt + 128 + rep)
+        jax.block_until_ready(key)
+        t0 = time.perf_counter()
+        rb = solve_big(key)
+        jax.block_until_ready(rb)
+        tb.append(time.perf_counter() - t0)
+    log(
+        f"sqp batch scale-out: B={B_big} n={N} time={min(tb)*1e3:.1f}ms -> "
+        f"{B_big/min(tb):.0f} solves/s; "
+        f"solved={float(np.mean(np.asarray(rb.info.status)==0)):.3f}"
+    )
+
     # ---- n=128 SQP config (north-star "n <= 128, >= 1e4 solves/s") ---------
     # Two-phase configuration (budget sweep, scripts/n128bench.py round 3):
     # 2 damped SQP outer iterations for globalization + 3 Newton-KKT
@@ -237,7 +271,7 @@ def main():
         qp_impl="kernel",
         polish=True,
         polish_passes=3,
-        line_search_max_iter=10,
+        line_search_max_iter=5,
         qp=settings.qp,
     )
 
@@ -252,7 +286,7 @@ def main():
         _ = np.asarray(solve128(jax.random.PRNGKey(0)).x)
         t128s = []
         for rep in (1, 2, 3, 4, 5):
-            key = jax.random.PRNGKey(rep)
+            key = jax.random.PRNGKey(salt + 64 + rep)
             jax.block_until_ready(key)
             t0 = time.perf_counter()
             r128 = solve128(key)
@@ -303,13 +337,23 @@ def main():
     solve_l = jax.jit(lambda p, x: sqp_solve(p, x, None, settings_l))
     _ = np.asarray(solve_l(prob_l, x0_l).x)
     tl = []
-    for _rep in (1, 2):
+    for rep in (1, 2):
+        prob_r_b, x0_r_b = sphere_cap_nlp_batch(
+            1, NL, seed=salt % 9973 + rep, dtype=jnp.float32
+        )
+        # swap only the ARRAY leaves into prob_l's structure: fresh
+        # callable objects would retrace/recompile the jit per rep
+        prob_r = _dc.replace(
+            prob_l, l=prob_r_b.l[0], u=prob_r_b.u[0], params=prob_r_b.params[0],
+        )
+        x0_r = x0_r_b[0]
+        jax.block_until_ready(x0_r)
         t0 = time.perf_counter()
-        rl = solve_l(prob_l, x0_l)
+        rl = solve_l(prob_r, x0_r)
         jax.block_until_ready(rl)
         tl.append(time.perf_counter() - t0)
     err_l = float(
-        np.max(np.abs(np.asarray(rl.x, np.float64) - sphere_cap_solution(prob_l_b)[0]))
+        np.max(np.abs(np.asarray(rl.x, np.float64) - sphere_cap_solution(prob_r_b)[0]))
     )
     log(
         f"large-n NLP: n={NL} time={min(tl)*1e3:.0f}ms status={int(rl.info.status)} "
@@ -342,7 +386,7 @@ def main():
         )
         _ = np.asarray(sol_fn(qp_s).x)
         ts = []
-        for seed in (1, 2):
+        for seed in (salt % 9973 + 1, salt % 9973 + 2):
             qp2, _ = mpc_qp_stagewise_batch(Bs, horizon=Ts, seed=seed, dtype=jnp.float32)
             jax.block_until_ready(qp2)
             t0 = time.perf_counter()
@@ -383,7 +427,7 @@ def main():
         )
         _ = np.asarray(sol_fn(qp_a).x)
         ts = []
-        for seed in (1, 2):
+        for seed in (salt % 9973 + 1, salt % 9973 + 2):
             qp2, _, _ = mpc_qp_coupled_batch(
                 Ba, agents=Ag, horizon=Hz, seed=seed, dtype=jnp.float32
             )
@@ -408,7 +452,7 @@ def main():
     jax.block_until_ready(qp0)
     _ = np.asarray(qsolve(qp0).x)
     qtimes = []
-    for seed in (1, 2):
+    for seed in (salt % 9973 + 1, salt % 9973 + 2):
         qp = random_qp_batch(batch=B, n=32, m=33, seed=seed, dtype=jnp.float32)
         jax.block_until_ready(qp)
         t0 = time.perf_counter()

@@ -563,8 +563,8 @@ def spd_inverse_kernel(Mt, interpret: bool = False):
 
 
 def _polish_kkt_body(
-    H_ref, Jm_ref, act_ref, r1_ref, b_ref, nu0_ref,
-    dx_ref, nu_ref, fail_ref, w_ref, l_ref, li_ref,
+    H_ref, Jm_ref, act_ref, actp_ref, li_in_ref, r1_ref, b_ref, nu0_ref,
+    dx_ref, nu_ref, fail_ref, li_ref, w_ref, l_ref,
     *, delta, sweeps,
 ):
     """One whole active-set KKT polish solve per lane (transposed layout).
@@ -578,23 +578,45 @@ def _polish_kkt_body(
     Newton-Schulz correction is needed: the in-kernel triangular inverse
     is backsolve-grade, and the sweeps absorb its O(eps) error exactly
     like the delta bias.
+
+    Multi-pass factor reuse: ``actp_ref`` holds the PREVIOUS pass's
+    active mask and ``li_in_ref`` its emitted L^-1 (``li_ref`` output).
+    If no lane in the tile changed its active set, the factorization is
+    skipped (scalar-core cond — the tile cost drops to the sweeps) and
+    the previous Li preconditions this pass's sweeps: the sweeps iterate
+    against the CURRENT ideal operator, so a slightly stale
+    preconditioner (Newton steps move x by O(KKT error) between passes)
+    only slows the ~delta-per-sweep contraction, never changes the fixed
+    point.  Pass actp = -1 to force a factorization (first pass).
     """
     inv_d = 1.0 / delta  # python scalar: weak-typed, preserves dtype
     act = act_ref[:]   # (m, TL) f32 0/1 active mask
     r1 = r1_ref[:]     # (n, TL)
     b = b_ref[:]       # (m, TL) active-row targets (zero on inactive)
     Jm = Jm_ref[:]     # (m, n, TL) active-masked Jacobian
+    TL = r1.shape[-1]
+    dtype = r1.dtype
 
-    # L^-1 of M = H + delta I + (1/delta) Jm'Jm -> li_ref; the 1/delta
-    # Gram scaling rides the A_col reads so Jm*inv_d is never
-    # materialized.  ltl=False: the sweeps apply Minv as Li'(Li t) — two
-    # full-array passes per sweep beat the n-trip LtL build loop
-    fail = _factor_schur_refs(
-        lambda r: H_ref[r],
-        lambda c: Jm_ref[:, c] * inv_d,
-        Jm,
-        delta, w_ref, l_ref, li_ref, ltl=False,
-    )
+    changed = jnp.any(jnp.abs(act - actp_ref[:]) > 0.5)
+
+    def do_factor(_):
+        # L^-1 of M = H + delta I + (1/delta) Jm'Jm -> li_ref; the
+        # 1/delta Gram scaling rides the A_col reads so Jm*inv_d is
+        # never materialized.  ltl=False: the sweeps apply Minv as
+        # Li'(Li t) — two full-array passes per sweep beat the n-trip
+        # LtL build loop
+        return _factor_schur_refs(
+            lambda r: H_ref[r],
+            lambda c: Jm_ref[:, c] * inv_d,
+            Jm,
+            delta, w_ref, l_ref, li_ref, ltl=False,
+        )
+
+    def do_reuse(_):
+        li_ref[...] = li_in_ref[:]
+        return jnp.zeros((1, TL), dtype)
+
+    fail = lax.cond(changed, do_factor, do_reuse, 0)
 
     H = H_ref[:]
     # carries derived from input data, never jnp.full: Mosaic pins
@@ -624,8 +646,8 @@ def _polish_kkt_body(
 @functools.partial(
     jax.jit, static_argnames=("delta", "sweeps", "lane_tile", "interpret")
 )
-def _polish_kkt_call(Ht, Jmt, actt, r1t, bt, nu0t, *, delta, sweeps,
-                     lane_tile, interpret):
+def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, *, delta,
+                     sweeps, lane_tile, interpret):
     n = Ht.shape[0]
     m = Jmt.shape[0]
     B = Ht.shape[-1]
@@ -640,15 +662,16 @@ def _polish_kkt_call(Ht, Jmt, actt, r1t, bt, nu0t, *, delta, sweeps,
     return pl.pallas_call(
         functools.partial(_polish_kkt_body, delta=delta, sweeps=sweeps),
         grid=(B // lane_tile,),
-        in_specs=[spec(n, n), spec(m, n), spec(m), spec(n), spec(m), spec(m)],
-        out_specs=(spec(n), spec(m), spec(1)),
+        in_specs=[spec(n, n), spec(m, n), spec(m), spec(m), spec(n, n),
+                  spec(n), spec(m), spec(m)],
+        out_specs=(spec(n), spec(m), spec(1), spec(n, n)),
         out_shape=(
             jax.ShapeDtypeStruct((n, B), Ht.dtype),
             jax.ShapeDtypeStruct((m, B), Ht.dtype),
             jax.ShapeDtypeStruct((1, B), Ht.dtype),
+            jax.ShapeDtypeStruct((n, n, B), Ht.dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((n, n, lane_tile), Ht.dtype),
             pltpu.VMEM((n, n, lane_tile), Ht.dtype),
             pltpu.VMEM((n, n, lane_tile), Ht.dtype),
         ],
@@ -656,10 +679,10 @@ def _polish_kkt_call(Ht, Jmt, actt, r1t, bt, nu0t, *, delta, sweeps,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * (n * n * n * 2 + m * n * n + sweeps * 4 * n * n),
-            bytes_accessed=B * (2 * n * n + m * n) * 4,
+            bytes_accessed=B * (3 * n * n + m * n) * 4,
             transcendentals=B * n,
         ),
-    )(Ht, Jmt, actt, r1t, bt, nu0t)
+    )(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t)
 
 
 def polish_kkt_kernel(
@@ -667,6 +690,8 @@ def polish_kkt_kernel(
     delta: float = 1e-2,
     sweeps: int = 6,
     interpret: bool = False,
+    actt_prev=None,
+    li_prev=None,
 ):
     """Batched active-set KKT polish solve in kernel layout.
 
@@ -674,20 +699,35 @@ def polish_kkt_kernel(
     active-masked Jacobian, ``actt (m, B)`` 0/1 active mask, ``r1t (n,
     B)`` stationarity rhs (``-grad_f``), ``bt (m, B)`` active-row
     targets, ``nu0t (m, B)`` multiplier warm start.  Returns ``(dx_t (n,
-    B), nu_t (m, B), fail (B,))`` — the Newton step from x (x0 = 0 in
-    the sweeps), the polished multipliers on active rows, and the
-    clamped-pivot flag.  Semantics match
+    B), nu_t (m, B), fail (B,), li (n, n, B))`` — the Newton step from x
+    (x0 = 0 in the sweeps), the polished multipliers on active rows, the
+    clamped-pivot flag, and the L^-1 preconditioner for reuse.
+    Semantics match
     ``qp.polish.kkt_solve_schur_refined(H, Jm, act, r1, b, nu0=nu0)``
     (parity-tested by tests/test_polish.py).
+
+    ``actt_prev``/``li_prev`` (a previous call's mask and emitted ``li``)
+    enable per-tile factorization reuse: a lane tile whose active set is
+    unchanged skips the factor phase entirely and preconditions this
+    pass's sweeps with the previous L^-1 (see ``_polish_kkt_body``).
+    SOUNDNESS: reuse requires the SAME (H, Jm) operator — i.e. repeat
+    solves of one QP with different rhs/active guesses (J fixed).  Under
+    re-linearization (NLP polish) the (1/delta)-scaled Gram amplifies
+    Jacobian drift ~1/delta x and the stale-preconditioned sweeps stall
+    (measured: err_p99 1.1e-7 -> 5.7e-5 on the round-3 bench) — which is
+    why ``sqp.common.polish_nlp_t`` does not use it.
     """
     if jax.default_backend() != "tpu":
         interpret = True
     n = Ht.shape[0]
     m = Jmt.shape[0]
     B = Ht.shape[-1]
-    # live set: H + Jm operands (double-buffered), 3 factor scratch,
-    # H/Jm values during sweeps
-    per_lane = 4 * (5 * n * n + 3 * m * n + 16 * (n + m))
+    if actt_prev is None:
+        actt_prev = -jnp.ones_like(actt)  # force the factorization
+        li_prev = jnp.zeros_like(Ht)
+    # live set: H/Jm/li_in operands (double-buffered), li output, 2
+    # factor scratch, H/Jm values during sweeps
+    per_lane = 4 * (8 * n * n + 3 * m * n + 24 * (n + m))
     tl = 128
     while tl > 8 and per_lane * tl > _VMEM_CAP:
         tl //= 2
@@ -698,6 +738,12 @@ def polish_kkt_kernel(
         Ht = jnp.concatenate([Ht, eye_pad], axis=-1)
         Jmt = jnp.concatenate([Jmt, jnp.zeros((m, n, pad), Ht.dtype)], axis=-1)
         actt = jnp.concatenate([actt, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
+        # pad lanes: act == actp == 0, so they never force a tail-tile
+        # refactor by themselves (their results are discarded anyway)
+        actt_prev = jnp.concatenate(
+            [actt_prev, jnp.zeros((m, pad), Ht.dtype)], axis=-1
+        )
+        li_prev = jnp.concatenate([li_prev, eye_pad], axis=-1)
         r1t = jnp.concatenate([r1t, jnp.zeros((n, pad), Ht.dtype)], axis=-1)
         bt = jnp.concatenate([bt, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
         nu0t = jnp.concatenate([nu0t, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
@@ -705,16 +751,18 @@ def polish_kkt_kernel(
         _polish_kkt_call, delta=delta, sweeps=sweeps, lane_tile=tl,
         interpret=interpret,
     )
+    args = (Ht, Jmt, actt, actt_prev, li_prev, r1t, bt, nu0t)
     if tl < 128 and not interpret:
-        dx_t, nu_t, fail = _chunked_lanes(
-            lambda *a: call(*a), (Ht, Jmt, actt, r1t, bt, nu0t),
-            Ht.shape[-1], tl,
+        dx_t, nu_t, fail, li = _chunked_lanes(
+            lambda *a: call(*a), args, Ht.shape[-1], tl
         )
     else:
-        dx_t, nu_t, fail = call(Ht, Jmt, actt, r1t, bt, nu0t)
+        dx_t, nu_t, fail, li = call(*args)
     if pad:
-        dx_t, nu_t, fail = dx_t[..., :B], nu_t[..., :B], fail[..., :B]
-    return dx_t, nu_t, fail[0]
+        dx_t, nu_t, fail, li = (
+            dx_t[..., :B], nu_t[..., :B], fail[..., :B], li[..., :B]
+        )
+    return dx_t, nu_t, fail[0], li
 
 
 def _rho_from(rho_scalar, loose, equality):

@@ -270,6 +270,15 @@ def polish_nlp_t(
     relayouts plus ~20 XLA dispatches per pass — the dominant cost of
     the whole bench config after round 3's factorization work.
 
+    Every pass factors fresh.  The kernel's per-tile factor-reuse input
+    (``polish_kkt_kernel(actt_prev=, li_prev=)``) is deliberately NOT
+    used here: each pass RE-LINEARIZES, and the preconditioner's
+    (1/delta)-scaled Gram term amplifies Jacobian drift ~1/delta x — a
+    5e-3 Newton step moved ||M|| by ~40 x lambda_min on the benchmark
+    family and stalled the reused sweeps at the previous pass's error
+    (measured round 3: err_p99 1.1e-7 -> 5.7e-5).  Reuse is sound only
+    when J is FIXED between solves (linear constraints / QP polish).
+
     Tier adapters:
       * ``f_lin(x) -> (obj, grad)`` with batch-first vectors
       * ``c_lin_t(x) -> (c (B, m), J_t (m, n, B))`` — kernel layout
@@ -298,8 +307,9 @@ def polish_nlp_t(
         H_t = hess_fn_t(x_out, lam_out)  # (n, n, B)
         act_t = act.T.astype(dtype)  # (m, B)
         Jm_t = J_t * act_t[:, None, :]
-        dx_t, nu_t, fail_row = polish_kkt_kernel(
-            H_t, Jm_t, act_t, -grad_f.T, b_t.T, lam_out.T, interpret=interpret
+        dx_t, nu_t, fail_row, _ = polish_kkt_kernel(
+            H_t, Jm_t, act_t, -grad_f.T, b_t.T, lam_out.T,
+            interpret=interpret,
         )
         fail_pol = fail_row > 0.5  # kernel emits an f32 0/1 row
         x_pol = x_out + dx_t.T

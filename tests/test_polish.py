@@ -122,7 +122,7 @@ def test_polish_kkt_kernel_matches_schur_refined(dtype):
     x_ref, nu_ref, fail_ref = kkt_solve_schur_refined(
         H, J_m, act, r1, b, nu0=nu0
     )
-    dx_t, nu_t, fail_k = polish_kkt_kernel(
+    dx_t, nu_t, fail_k, li_k = polish_kkt_kernel(
         jnp.moveaxis(H, 0, -1),
         jnp.moveaxis(J_m, 0, -1),
         act.T.astype(dtype),
@@ -188,3 +188,102 @@ def test_polish_nlp_t_matches_polish_nlp():
     np.testing.assert_allclose(np.asarray(x_b), np.asarray(x_a), atol=2e-5)
     np.testing.assert_allclose(np.asarray(lam_b), np.asarray(lam_a), atol=2e-4)
     np.testing.assert_array_equal(np.asarray(resc_b), np.asarray(resc_a))
+
+
+def test_polish_kkt_kernel_edge_cases():
+    """All-inactive rows reduce to regularized-Newton on H (nu stays 0);
+    an indefinite H must raise the clamped-pivot fail flag, and the
+    epilogue's accept guard must then keep the unpolished point."""
+    from sqp_solver_tpu.ops.qp_kernel import polish_kkt_kernel
+
+    B, n, m = 4, 6, 7
+    key = jax.random.PRNGKey(7)
+    G = jax.random.normal(key, (B, n, n), jnp.float32)
+    H = jnp.einsum("bij,bkj->bik", G, G) + jnp.eye(n, dtype=jnp.float32)
+    r1 = jax.random.normal(key, (B, n), jnp.float32)
+
+    # all-inactive: Jm = 0, act = 0 -> x solves (H + delta I) x = r1 with
+    # ideal-operator refinement against H itself -> H x = r1 exactly
+    dx_t, nu_t, fail, _ = polish_kkt_kernel(
+        jnp.moveaxis(H, 0, -1),
+        jnp.zeros((m, n, B), jnp.float32),
+        jnp.zeros((m, B), jnp.float32),
+        r1.T,
+        jnp.zeros((m, B), jnp.float32),
+        jnp.zeros((m, B), jnp.float32),
+    )
+    assert not (np.asarray(fail) > 0.5).any()
+    np.testing.assert_allclose(np.asarray(nu_t), 0.0)
+    x = np.asarray(dx_t.T)
+    np.testing.assert_allclose(
+        np.einsum("bij,bj->bi", np.asarray(H), x), np.asarray(r1),
+        atol=1e-4, rtol=1e-4,
+    )
+
+    # indefinite H on problem 0 only: fail flags that lane, not the others
+    H_bad = H.at[0].set(-jnp.eye(n, dtype=jnp.float32))
+    _, _, fail2, _ = polish_kkt_kernel(
+        jnp.moveaxis(H_bad, 0, -1),
+        jnp.zeros((m, n, B), jnp.float32),
+        jnp.zeros((m, B), jnp.float32),
+        r1.T,
+        jnp.zeros((m, B), jnp.float32),
+        jnp.zeros((m, B), jnp.float32),
+    )
+    fail2 = np.asarray(fail2) > 0.5
+    assert fail2[0]
+    assert not fail2[1:].any()
+
+
+def test_polish_kkt_kernel_factor_reuse():
+    """Passing the previous call's (act, Li) skips the factorization on
+    tiles whose active set is unchanged — the solution must match the
+    fresh-factor path to sweep-converged accuracy; a changed active set
+    must refactor (bitwise-fresh result)."""
+    from sqp_solver_tpu.ops.qp_kernel import polish_kkt_kernel
+
+    B, n, m = 8, 6, 7
+    key = jax.random.PRNGKey(9)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    G = jax.random.normal(k1, (B, n, n), jnp.float32)
+    H = jnp.einsum("bij,bkj->bik", G, G) + jnp.eye(n, dtype=jnp.float32)
+    J = jax.random.normal(k2, (B, m, n), jnp.float32)
+    act = (jax.random.uniform(k3, (B, m)) < 0.5).astype(jnp.float32)
+    Jm = jnp.moveaxis(jnp.where(act[..., None] > 0, J, 0.0), 0, -1)
+    Ht = jnp.moveaxis(H, 0, -1)
+    act_t = act.T
+    r1 = jax.random.normal(k4, (B, n), jnp.float32).T
+    b = (jax.random.normal(k4, (B, m), jnp.float32) * act).T
+    nu0 = jnp.zeros((m, B), jnp.float32)
+
+    dx1, nu1, f1, li1 = polish_kkt_kernel(Ht, Jm, act_t, r1, b, nu0)
+    # unchanged operator: the reused Li IS the fresh Li, results equal
+    same = polish_kkt_kernel(
+        Ht, Jm, act_t, r1, b, nu0, actt_prev=act_t, li_prev=li1
+    )
+    np.testing.assert_allclose(
+        np.asarray(same[0]), np.asarray(dx1), atol=1e-6, rtol=1e-6
+    )
+    # slightly perturbed H (a Newton re-linearization): the stale Li
+    # still preconditions the sweeps toward the same fixed point; the
+    # residual error is bounded by the slowed contraction (and upstream,
+    # polish_nlp_t's accept guard + big-step refactor bound the drift)
+    Ht2 = Ht * 1.001
+    fresh = polish_kkt_kernel(Ht2, Jm, act_t, r1, b, nu0)
+    reused = polish_kkt_kernel(
+        Ht2, Jm, act_t, r1, b, nu0, actt_prev=act_t, li_prev=li1
+    )
+    np.testing.assert_allclose(
+        np.asarray(reused[0]), np.asarray(fresh[0]), atol=5e-4, rtol=5e-4
+    )
+    # changed active set: must refactor -> bitwise-equal to fresh
+    act_b = act.at[:, 0].set(1.0 - act[:, 0])
+    Jm_b = jnp.moveaxis(jnp.where(act_b[..., None] > 0, J, 0.0), 0, -1)
+    b_b = (jax.random.normal(k4, (B, m), jnp.float32) * act_b).T
+    fresh_b = polish_kkt_kernel(Ht2, Jm_b, act_b.T, r1, b_b, nu0)
+    reused_b = polish_kkt_kernel(
+        Ht2, Jm_b, act_b.T, r1, b_b, nu0, actt_prev=act_t, li_prev=li1
+    )
+    np.testing.assert_array_equal(
+        np.asarray(reused_b[0]), np.asarray(fresh_b[0])
+    )
