@@ -13,13 +13,14 @@ Methodology notes: problem instances are generated ON DEVICE from a PRNG
 key (host->device transfer of a 4096-problem batch costs ~50 ms on a
 tunneled chip and would dominate), each timing rep uses a fresh key (the
 runtime memoizes repeated identical dispatches), and completion is
-forced with jax.block_until_ready on the WHOLE result pytree — which
-waits for device completion without billing the D2H download of the full
-solution through the ~30 MB/s debug tunnel (measured: np.asarray(res.x)
-adds ~12 ms at B=1024 n=128 and ~17 ms at B=4096 n=32 of pure transfer;
-verified block_until_ready does wait: its time scales 2x when the outer
-budget is 4x'd).  Status / accuracy fetches happen OUTSIDE the timed
-region.
+forced by fetching the TINY per-problem status vector (4-64 KB, ~2-3 ms)
+inside the timed region — it depends on the whole solve, so the fetch
+cannot return early, and it avoids billing the D2H download of the full
+solution through the ~30 MB/s debug tunnel (np.asarray(res.x) adds ~12
+ms at B=1024 n=128 of pure transfer).  A bare jax.block_until_ready is
+NOT used for timing: it was observed returning in ~0 ms on dispatches
+the relay had not flushed (a silent artifact that would corrupt the
+min-over-reps).  Accuracy fetches happen OUTSIDE the timed region.
 """
 
 import json
@@ -191,7 +192,7 @@ def main():
         jax.block_until_ready(key)
         t0 = time.perf_counter()
         res = solve(key)
-        jax.block_until_ready(res)
+        _ = np.asarray(res.info.status)  # tiny fetch: forced completion
         times.append(time.perf_counter() - t0)
     t_solve = min(times)
 
@@ -247,7 +248,7 @@ def main():
         jax.block_until_ready(key)
         t0 = time.perf_counter()
         rb = solve_big(key)
-        jax.block_until_ready(rb)
+        _ = np.asarray(rb.info.status)
         tb.append(time.perf_counter() - t0)
     log(
         f"sqp batch scale-out: B={B_big} n={N} time={min(tb)*1e3:.1f}ms -> "
@@ -290,7 +291,7 @@ def main():
             jax.block_until_ready(key)
             t0 = time.perf_counter()
             r128 = solve128(key)
-            jax.block_until_ready(r128)
+            _ = np.asarray(r128.info.status)
             t128s.append(time.perf_counter() - t0)
         t128 = min(t128s)
         prob128, _ = jax.jit(build128)(jax.random.PRNGKey(9))
@@ -350,7 +351,7 @@ def main():
         jax.block_until_ready(x0_r)
         t0 = time.perf_counter()
         rl = solve_l(prob_r, x0_r)
-        jax.block_until_ready(rl)
+        _ = np.asarray(rl.info.status)
         tl.append(time.perf_counter() - t0)
     err_l = float(
         np.max(np.abs(np.asarray(rl.x, np.float64) - sphere_cap_solution(prob_r_b)[0]))
@@ -391,11 +392,18 @@ def main():
             jax.block_until_ready(qp2)
             t0 = time.perf_counter()
             rs = sol_fn(qp2)
-            jax.block_until_ready(rs)
+            _ = np.asarray(rs.info.status)
             ts.append(time.perf_counter() - t0)
+        note = (
+            "  [capability row: the fixed schedule executes the FULL "
+            "max_iter budget (XLA conds don't skip work on this runtime); "
+            "vmap early-exits and is the recommended tier at this shape]"
+            if impl == "fused" else ""
+        )
         log(
             f"structured MPC ({label}): n={qp_s.P.shape[-1]} B={Bs} "
             f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
+            + note
         )
 
     # ---- supplementary: arrow-structured (bordered) coupled MPC -------------
@@ -434,11 +442,13 @@ def main():
             jax.block_until_ready(qp2)
             t0 = time.perf_counter()
             rs = sol_fn(qp2)
-            jax.block_until_ready(rs)
+            _ = np.asarray(rs.info.status)
             ts.append(time.perf_counter() - t0)
         log(
             f"coupled MPC arrow ({label}): n={qp_a.P.shape[-1]} B={Ba} "
             f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
+            + ("  [capability row: full fixed budget, see above]"
+               if impl == "fused" else "")
         )
 
     # ---- supplementary: batched QP throughput -------------------------------
@@ -457,7 +467,7 @@ def main():
         jax.block_until_ready(qp)
         t0 = time.perf_counter()
         qres = qsolve(qp)
-        jax.block_until_ready(qres)
+        _ = np.asarray(qres.info.status)
         qtimes.append(time.perf_counter() - t0)
     t_qp = min(qtimes)
     log(

@@ -564,8 +564,8 @@ def spd_inverse_kernel(Mt, interpret: bool = False):
 
 def _polish_kkt_body(
     H_ref, Jm_ref, act_ref, actp_ref, li_in_ref, r1_ref, b_ref, nu0_ref,
-    dx_ref, nu_ref, fail_ref, li_ref, w_ref, l_ref,
-    *, delta, sweeps,
+    x0_ref, dx_ref, nu_ref, fail_ref, li_ref, w_ref, l_ref,
+    *, delta, sweeps, warm,
 ):
     """One whole active-set KKT polish solve per lane (transposed layout).
 
@@ -621,10 +621,16 @@ def _polish_kkt_body(
     H = H_ref[:]
     # carries derived from input data, never jnp.full: Mosaic pins
     # replicated layouts on full-init carries (round-2 gotcha)
-    x = 0.0 * r1
     nu = nu0_ref[:] * act
-    w_n = 0.0 * r1   # running H x
-    w_m = 0.0 * b    # running Jm x
+    if warm:
+        # warm start from x0: seed the running w = S x carries
+        x = x0_ref[:]
+        w_n = jnp.sum(H * x[None, :, :], axis=1)
+        w_m = jnp.sum(Jm * x[None, :, :], axis=1)
+    else:
+        x = 0.0 * r1
+        w_n = 0.0 * r1   # running H x
+        w_m = 0.0 * b    # running Jm x
 
     def sweep(_, carry):
         x, nu, w_n, w_m = carry
@@ -644,10 +650,11 @@ def _polish_kkt_body(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("delta", "sweeps", "lane_tile", "interpret")
+    jax.jit,
+    static_argnames=("delta", "sweeps", "lane_tile", "interpret", "warm"),
 )
-def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, *, delta,
-                     sweeps, lane_tile, interpret):
+def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, x0t, *,
+                     delta, sweeps, lane_tile, interpret, warm):
     n = Ht.shape[0]
     m = Jmt.shape[0]
     B = Ht.shape[-1]
@@ -660,10 +667,12 @@ def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, *, delta,
         )
 
     return pl.pallas_call(
-        functools.partial(_polish_kkt_body, delta=delta, sweeps=sweeps),
+        functools.partial(
+            _polish_kkt_body, delta=delta, sweeps=sweeps, warm=warm
+        ),
         grid=(B // lane_tile,),
         in_specs=[spec(n, n), spec(m, n), spec(m), spec(m), spec(n, n),
-                  spec(n), spec(m), spec(m)],
+                  spec(n), spec(m), spec(m), spec(n)],
         out_specs=(spec(n), spec(m), spec(1), spec(n, n)),
         out_shape=(
             jax.ShapeDtypeStruct((n, B), Ht.dtype),
@@ -682,7 +691,7 @@ def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, *, delta,
             bytes_accessed=B * (3 * n * n + m * n) * 4,
             transcendentals=B * n,
         ),
-    )(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t)
+    )(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, x0t)
 
 
 def polish_kkt_kernel(
@@ -692,16 +701,19 @@ def polish_kkt_kernel(
     interpret: bool = False,
     actt_prev=None,
     li_prev=None,
+    x0t=None,
 ):
     """Batched active-set KKT polish solve in kernel layout.
 
     Inputs: ``Ht (n, n, B)`` Lagrangian Hessian, ``Jmt (m, n, B)``
     active-masked Jacobian, ``actt (m, B)`` 0/1 active mask, ``r1t (n,
     B)`` stationarity rhs (``-grad_f``), ``bt (m, B)`` active-row
-    targets, ``nu0t (m, B)`` multiplier warm start.  Returns ``(dx_t (n,
-    B), nu_t (m, B), fail (B,), li (n, n, B))`` — the Newton step from x
-    (x0 = 0 in the sweeps), the polished multipliers on active rows, the
-    clamped-pivot flag, and the L^-1 preconditioner for reuse.
+    targets, ``nu0t (m, B)`` multiplier warm start, optional ``x0t (n,
+    B)`` primal warm start (the sweeps then return the ABSOLUTE x, not a
+    step).  Returns ``(x_t (n, B), nu_t (m, B), fail (B,), li (n, n,
+    B))`` — the solution (a step from 0 when ``x0t`` is None), the
+    polished multipliers on active rows, the clamped-pivot flag, and the
+    L^-1 preconditioner for reuse.
     Semantics match
     ``qp.polish.kkt_solve_schur_refined(H, Jm, act, r1, b, nu0=nu0)``
     (parity-tested by tests/test_polish.py).
@@ -722,6 +734,9 @@ def polish_kkt_kernel(
     n = Ht.shape[0]
     m = Jmt.shape[0]
     B = Ht.shape[-1]
+    warm = x0t is not None
+    if x0t is None:
+        x0t = jnp.zeros_like(r1t)
     if actt_prev is None:
         actt_prev = -jnp.ones_like(actt)  # force the factorization
         li_prev = jnp.zeros_like(Ht)
@@ -747,11 +762,12 @@ def polish_kkt_kernel(
         r1t = jnp.concatenate([r1t, jnp.zeros((n, pad), Ht.dtype)], axis=-1)
         bt = jnp.concatenate([bt, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
         nu0t = jnp.concatenate([nu0t, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
+        x0t = jnp.concatenate([x0t, jnp.zeros((n, pad), Ht.dtype)], axis=-1)
     call = functools.partial(
         _polish_kkt_call, delta=delta, sweeps=sweeps, lane_tile=tl,
-        interpret=interpret,
+        interpret=interpret, warm=warm,
     )
-    args = (Ht, Jmt, actt, actt_prev, li_prev, r1t, bt, nu0t)
+    args = (Ht, Jmt, actt, actt_prev, li_prev, r1t, bt, nu0t, x0t)
     if tl < 128 and not interpret:
         dx_t, nu_t, fail, li = _chunked_lanes(
             lambda *a: call(*a), args, Ht.shape[-1], tl

@@ -86,6 +86,7 @@ def kkt_solve_schur_refined(
     nu0=None,
     delta: float = 1e-2,
     sweeps: int = 6,
+    use_kernel=None,
 ):
     """Solve the ideal active-set KKT system
 
@@ -98,9 +99,37 @@ def kkt_solve_schur_refined(
     batched, MXU-friendly); each refinement sweep solves the
     delta-regularized system exactly via the Schur form and contracts the
     remaining error by ~delta.  ``x0``/``nu0`` warm-start the sweeps.
+
+    Large TPU batches route the WHOLE solve (Gram + Cholesky +
+    triangular inverse + sweeps) through one Pallas call
+    (:func:`sqp_solver_tpu.ops.qp_kernel.polish_kkt_kernel`) — the same
+    mathematics without the per-sweep XLA dispatches; ``use_kernel``
+    forces the choice (tests exercise both paths on any backend).
     """
     dtype = P.dtype
     n = P.shape[-1]
+    if use_kernel is None:
+        use_kernel = (
+            P.ndim == 3
+            and P.shape[0] * n >= 256 * 32
+            and jax.default_backend() == "tpu"
+        )
+    if use_kernel:
+        from sqp_solver_tpu.ops.qp_kernel import polish_kkt_kernel
+
+        act_t = act.T.astype(dtype)
+        x_t, nu_t, fail_row, _ = polish_kkt_kernel(
+            jnp.moveaxis(P, 0, -1),
+            jnp.moveaxis(A_m, 0, -1),
+            act_t,
+            r1.T,
+            jnp.where(act, r2, 0.0).T,
+            (jnp.zeros_like(r2) if nu0 is None else nu0).T,
+            delta=delta,
+            sweeps=sweeps,
+            x0t=None if x0 is None else x0.T,
+        )
+        return x_t.T, jnp.where(act, nu_t.T, 0.0), fail_row > 0.5
     with jax.default_matmul_precision("highest"):
         d_c = jnp.asarray(delta, dtype)
         eye = jnp.eye(n, dtype=dtype)

@@ -287,3 +287,35 @@ def test_polish_kkt_kernel_factor_reuse():
     np.testing.assert_array_equal(
         np.asarray(reused_b[0]), np.asarray(fresh_b[0])
     )
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
+def test_kkt_solve_kernel_route_matches_xla(dtype):
+    """kkt_solve_schur_refined(use_kernel=True) — the whole-pass Pallas
+    route used for large TPU batches, including the x0/nu0 warm start —
+    must agree with the XLA route."""
+    from sqp_solver_tpu.qp.polish import kkt_solve_schur_refined
+
+    B, n, m = 10, 9, 12
+    key = jax.random.PRNGKey(13)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(key, 6)
+    G = jax.random.normal(k1, (B, n, n), dtype)
+    H = jnp.einsum("bij,bkj->bik", G, G) + 0.5 * jnp.eye(n, dtype=dtype)
+    J = jax.random.normal(k2, (B, m, n), dtype)
+    act = jax.random.uniform(k3, (B, m)) < 0.4
+    J_m = jnp.where(act[..., None], J, 0.0)
+    r1 = jax.random.normal(k4, (B, n), dtype)
+    r2 = jnp.where(act, jax.random.normal(k5, (B, m), dtype), 0.0)
+    x0 = 0.1 * jax.random.normal(k6, (B, n), dtype)
+    nu0 = 0.1 * jax.random.normal(k6, (B, m), dtype)
+
+    ref = kkt_solve_schur_refined(H, J_m, act, r1, r2, x0=x0, nu0=nu0,
+                                  use_kernel=False)
+    ker = kkt_solve_schur_refined(H, J_m, act, r1, r2, x0=x0, nu0=nu0,
+                                  use_kernel=True)
+    tol = 2e-5 if dtype == jnp.float32 else 1e-10
+    np.testing.assert_allclose(np.asarray(ker[0]), np.asarray(ref[0]),
+                               atol=tol, rtol=tol)
+    np.testing.assert_allclose(np.asarray(ker[1]), np.asarray(ref[1]),
+                               atol=10 * tol, rtol=tol)
+    assert not np.asarray(ker[2]).any()
