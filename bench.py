@@ -137,10 +137,12 @@ def main():
     B, N = 4096, 32
     build = make_problem_generator(B, N, jnp.float32)
     # Two-phase budget (round-3 sweep): 3 damped SQP outer iterations for
-    # globalization + 3 Newton-KKT polish passes (true-Hessian active-set
+    # globalization + 2 Newton-KKT polish passes (true-Hessian active-set
     # refinement; statuses certified against re-linearized KKT residuals,
-    # accuracy against the closed form).  Inner QPs warm-start and check
-    # every 10 (the reference's own inner default, src/sqp.cpp:17).
+    # accuracy against the closed form; with 3 outers the second pass
+    # already reaches the f32 floor — sweep: 3 passes only cost time).
+    # Inner QPs warm-start and check every 10 (the reference's own inner
+    # default, src/sqp.cpp:17).
     settings = SQPSettings(
         max_iter=3,
         eps_prim=2e-3,
@@ -149,7 +151,7 @@ def main():
         schedule="fixed",
         qp_impl="kernel",
         polish=True,
-        polish_passes=3,
+        polish_passes=2,
         # 5 backtracking candidates: the damped Newton steps accept at
         # alpha=1 on this family (sweep: 10 -> 5 saved ~6 ms at n=128
         # B=1024 with identical solved/accuracy)
