@@ -217,6 +217,21 @@ def main():
         f"solved={solved_frac:.3f} err_p99={err:.2e} iters p50={np.percentile(iters,50):.0f} "
         f"p99={np.percentile(iters,99):.0f}"
     )
+    # Emit the ONE stdout JSON line NOW, before the supplementary legs:
+    # on a cold compile cache the full run takes ~20+ min, and a driver
+    # timeout mid-way must not lose the headline (stderr keeps flowing)
+    print(
+        json.dumps(
+            {
+                "metric": "batched_sqp_solves_per_sec_n32_b4096",
+                "value": round(sqp_per_sec, 1),
+                "unit": "solves/s",
+                "vs_baseline": round(sqp_per_sec / 1e4, 4),
+            }
+        ),
+        flush=True,
+    )
+
     # roofline accounting: useful FLOPs vs the chip's VPU ceiling (the
     # workload is batched small-matrix algebra — elementwise lanes, no
     # MXU data reuse), plus the MXU-f32 number for reference
@@ -507,16 +522,7 @@ def main():
         f"{float(np.mean(np.asarray(ra.info.status)==0)):.3f}"
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "batched_sqp_solves_per_sec_n32_b4096",
-                "value": round(sqp_per_sec, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(sqp_per_sec / 1e4, 4),
-            }
-        )
-    )
+    # (headline JSON already emitted right after the headline leg)
 
 
 if __name__ == "__main__":
