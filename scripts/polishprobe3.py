@@ -56,7 +56,7 @@ def main():
             nu0 = jnp.zeros((m, B), jnp.float32)
             out = jnp.zeros((N, B), jnp.float32)
             for _ in range(K):
-                dx, nu, fail = polish_kkt_kernel(H, Jm, act, r1 + out, b, nu0)
+                dx, nu, fail, _li = polish_kkt_kernel(H, Jm, act, r1 + out, b, nu0)
                 out = out + dx * 1e-6  # data dependence, keeps passes live
             return out[0]
 

@@ -375,10 +375,15 @@ def _factor_schur_refs(
     ``p_row(i) -> (n, TL)`` and ``A_col(i) -> (m, TL)`` are row/column
     sources (dynamic ref reads — the caller wires its input ref or a
     scratch stash); ``SA = A * rho`` is a value.  Scratch refs, (n, n,
-    TL) each: ``w_ref`` (M during Cholesky, then Minv — its final
-    content IS the result), ``l_ref`` (L), ``li_ref`` (L^-1; the caller
-    may stash P here during the M build via ``p_row`` — it is zeroed
-    before the inverse loop).  Returns ``(Minv value, fail (1, TL))``.
+    TL) each: ``w_ref`` (M during Cholesky, then Minv with the default
+    ``ltl=True`` — its final content IS the result), ``l_ref`` (L),
+    ``li_ref`` (L^-1; the caller may stash P here during the M build via
+    ``p_row`` — it is zeroed before the inverse loop).  With
+    ``ltl=False`` the LᵀL build is skipped: the result is L^-1 in
+    ``li_ref`` and ``w_ref`` holds Cholesky-consumed junk (callers that
+    only APPLY the inverse a few times use Li'(Li t) — see
+    ``_chol_inv_ltl``).  Returns the ``fail (1, TL)`` row only; the
+    factor lives in the refs.
     """
     m, n, TL = SA.shape
     dtype = SA.dtype
@@ -563,8 +568,8 @@ def spd_inverse_kernel(Mt, interpret: bool = False):
 
 
 def _polish_kkt_body(
-    H_ref, Jm_ref, act_ref, actp_ref, li_in_ref, r1_ref, b_ref, nu0_ref,
-    x0_ref, dx_ref, nu_ref, fail_ref, li_ref, w_ref, l_ref,
+    H_ref, Jm_ref, act_ref, actp_ref, li_in_ref, failp_ref, r1_ref, b_ref,
+    nu0_ref, x0_ref, dx_ref, nu_ref, fail_ref, li_ref, w_ref, l_ref,
     *, delta, sweeps, warm,
 ):
     """One whole active-set KKT polish solve per lane (transposed layout).
@@ -613,8 +618,11 @@ def _polish_kkt_body(
         )
 
     def do_reuse(_):
+        # inherit the previous call's fail row: a clamped-pivot factor
+        # stays broken when reused — reporting 0 here would let accept
+        # guards trust a solve preconditioned by junk
         li_ref[...] = li_in_ref[:]
-        return jnp.zeros((1, TL), dtype)
+        return failp_ref[:]
 
     fail = lax.cond(changed, do_factor, do_reuse, 0)
 
@@ -653,8 +661,8 @@ def _polish_kkt_body(
     jax.jit,
     static_argnames=("delta", "sweeps", "lane_tile", "interpret", "warm"),
 )
-def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, x0t, *,
-                     delta, sweeps, lane_tile, interpret, warm):
+def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, failp, r1t, bt, nu0t, x0t,
+                     *, delta, sweeps, lane_tile, interpret, warm):
     n = Ht.shape[0]
     m = Jmt.shape[0]
     B = Ht.shape[-1]
@@ -672,7 +680,7 @@ def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, x0t, *,
         ),
         grid=(B // lane_tile,),
         in_specs=[spec(n, n), spec(m, n), spec(m), spec(m), spec(n, n),
-                  spec(n), spec(m), spec(m), spec(n)],
+                  spec(1), spec(n), spec(m), spec(m), spec(n)],
         out_specs=(spec(n), spec(m), spec(1), spec(n, n)),
         out_shape=(
             jax.ShapeDtypeStruct((n, B), Ht.dtype),
@@ -691,7 +699,7 @@ def _polish_kkt_call(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, x0t, *,
             bytes_accessed=B * (3 * n * n + m * n) * 4,
             transcendentals=B * n,
         ),
-    )(Ht, Jmt, actt, actpt, li_in, r1t, bt, nu0t, x0t)
+    )(Ht, Jmt, actt, actpt, li_in, failp, r1t, bt, nu0t, x0t)
 
 
 def polish_kkt_kernel(
@@ -702,6 +710,7 @@ def polish_kkt_kernel(
     actt_prev=None,
     li_prev=None,
     x0t=None,
+    fail_prev=None,
 ):
     """Batched active-set KKT polish solve in kernel layout.
 
@@ -718,10 +727,12 @@ def polish_kkt_kernel(
     ``qp.polish.kkt_solve_schur_refined(H, Jm, act, r1, b, nu0=nu0)``
     (parity-tested by tests/test_polish.py).
 
-    ``actt_prev``/``li_prev`` (a previous call's mask and emitted ``li``)
-    enable per-tile factorization reuse: a lane tile whose active set is
-    unchanged skips the factor phase entirely and preconditions this
-    pass's sweeps with the previous L^-1 (see ``_polish_kkt_body``).
+    ``actt_prev``/``li_prev`` (a previous call's mask and emitted ``li``;
+    pass ``fail_prev`` — its fail row — too, so a clamped-pivot factor
+    stays flagged when reused) enable per-tile factorization reuse: a
+    lane tile whose active set is unchanged skips the factor phase
+    entirely and preconditions this pass's sweeps with the previous L^-1
+    (see ``_polish_kkt_body``).
     SOUNDNESS: reuse requires the SAME (H, Jm) operator — i.e. repeat
     solves of one QP with different rhs/active guesses (J fixed).  Under
     re-linearization (NLP polish) the (1/delta)-scaled Gram amplifies
@@ -740,9 +751,21 @@ def polish_kkt_kernel(
     if actt_prev is None:
         actt_prev = -jnp.ones_like(actt)  # force the factorization
         li_prev = jnp.zeros_like(Ht)
+        fail_prev = None
+    elif li_prev is None:
+        raise ValueError(
+            "polish_kkt_kernel: actt_prev requires li_prev (the previous "
+            "call's emitted L^-1) — factorization reuse needs both"
+        )
+    failp = (
+        jnp.zeros((1, Ht.shape[-1]), Ht.dtype)
+        if fail_prev is None
+        else fail_prev.reshape(1, -1).astype(Ht.dtype)
+    )
     # live set: H/Jm/li_in operands (double-buffered), li output, 2
     # factor scratch, H/Jm values during sweeps
-    per_lane = 4 * (8 * n * n + 3 * m * n + 24 * (n + m))
+    itemsize = jnp.dtype(Ht.dtype).itemsize
+    per_lane = itemsize * (8 * n * n + 3 * m * n + 24 * (n + m))
     tl = 128
     while tl > 8 and per_lane * tl > _VMEM_CAP:
         tl //= 2
@@ -763,11 +786,12 @@ def polish_kkt_kernel(
         bt = jnp.concatenate([bt, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
         nu0t = jnp.concatenate([nu0t, jnp.zeros((m, pad), Ht.dtype)], axis=-1)
         x0t = jnp.concatenate([x0t, jnp.zeros((n, pad), Ht.dtype)], axis=-1)
+        failp = jnp.concatenate([failp, jnp.zeros((1, pad), Ht.dtype)], axis=-1)
     call = functools.partial(
         _polish_kkt_call, delta=delta, sweeps=sweeps, lane_tile=tl,
         interpret=interpret, warm=warm,
     )
-    args = (Ht, Jmt, actt, actt_prev, li_prev, r1t, bt, nu0t, x0t)
+    args = (Ht, Jmt, actt, actt_prev, li_prev, failp, r1t, bt, nu0t, x0t)
     if tl < 128 and not interpret:
         dx_t, nu_t, fail, li = _chunked_lanes(
             lambda *a: call(*a), args, Ht.shape[-1], tl

@@ -288,6 +288,20 @@ def test_polish_kkt_kernel_factor_reuse():
         np.asarray(reused_b[0]), np.asarray(fresh_b[0])
     )
 
+    # a reused clamped-pivot factor must STAY flagged (fail_prev carries
+    # through the skip branch) — reporting 0 would let accept guards
+    # trust a solve preconditioned by junk
+    fail1_bad = jnp.ones_like(f1)
+    reused_f = polish_kkt_kernel(
+        Ht, Jm, act_t, r1, b, nu0, actt_prev=act_t, li_prev=li1,
+        fail_prev=fail1_bad,
+    )
+    assert (np.asarray(reused_f[2]) > 0.5).all()
+
+    # actt_prev without li_prev is a usage error, not a confusing crash
+    with pytest.raises(ValueError, match="li_prev"):
+        polish_kkt_kernel(Ht, Jm, act_t, r1, b, nu0, actt_prev=act_t)
+
 
 @pytest.mark.parametrize("dtype", [jnp.float32, jnp.float64])
 def test_kkt_solve_kernel_route_matches_xla(dtype):
