@@ -211,12 +211,19 @@ def polish_qp(
     qp: QuadraticProblem,
     result: QPResult,
     settings: QPSettings = QPSettings(),
-    delta: float = 1e-2,
-    refine_steps: int = 6,
+    delta: float = None,
+    refine_steps: int = None,
 ) -> QPResult:
     """Polish a (possibly batched) QP result.  Shape-polymorphic: works on
-    single problems (n,), (m,) and batches (B, n), (B, m)."""
-    del settings  # polish parameters are its own; settings kept for API symmetry
+    single problems (n,), (m,) and batches (B, n), (B, m).
+
+    ``delta``/``refine_steps`` default to ``settings.polish_delta`` /
+    ``settings.polish_sweeps``; explicit arguments override.
+    """
+    if delta is None:
+        delta = settings.polish_delta
+    if refine_steps is None:
+        refine_steps = settings.polish_sweeps
     # pin matmul precision for the WHOLE polish, including the accept
     # guard's KKT residuals: a bf16-decomposed guard would accept/reject
     # candidates on corrupted errors (CLAUDE.md precision rule)

@@ -129,6 +129,11 @@ class QPSettings:
     refine_steps: int = 0
     schedule: str = "early_exit"
     polish: bool = False
+    # polish hyperparameters (qp.polish): the Schur preconditioner's
+    # regularization delta (each refinement sweep contracts the error by
+    # ~delta) and the number of ideal-operator sweeps
+    polish_delta: float = 1e-2
+    polish_sweeps: int = 6
     # Ruiz equilibration sweeps (qp.scaling): 0 = off (reference
     # semantics — the reference dropped OSQP's scaling entirely).  10 is
     # OSQP's default and rescues badly-scaled problems (e.g. the huber
@@ -189,6 +194,10 @@ class QPSettings:
                 "linear_solver='schur_arrow' requires block_size > 0 and "
                 "arrow_width > 0"
             )
+        if not (self.polish_delta > 0.0):
+            raise ValueError("polish_delta must be > 0")
+        if self.polish_sweeps < 1:
+            raise ValueError("polish_sweeps must be >= 1")
         if self.schedule not in ("early_exit", "fixed"):
             raise ValueError(f"schedule must be 'early_exit' or 'fixed', got {self.schedule}")
         if self.scaling < 0:

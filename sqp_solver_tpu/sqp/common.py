@@ -222,7 +222,8 @@ def polish_nlp(
         H = hess_fn(x_out, lam_out)
         J_m = jnp.where(act[..., None], J_f, 0.0)
         dx, nu, fail_pol = kkt_solve_schur_refined(
-            H, J_m, act, -grad_f, b_t, nu0=lam_out
+            H, J_m, act, -grad_f, b_t, nu0=lam_out,
+            delta=settings.polish_delta, sweeps=settings.polish_sweeps,
         )
         x_pol = x_out + dx
         lam_pol = jnp.where(act, nu, 0.0)
@@ -309,6 +310,7 @@ def polish_nlp_t(
         Jm_t = J_t * act_t[:, None, :]
         dx_t, nu_t, fail_row, _ = polish_kkt_kernel(
             H_t, Jm_t, act_t, -grad_f.T, b_t.T, lam_out.T,
+            delta=settings.polish_delta, sweeps=settings.polish_sweeps,
             interpret=interpret,
         )
         fail_pol = fail_row > 0.5  # kernel emits an f32 0/1 row

@@ -153,6 +153,9 @@ class SQPSettings:
     # the current multipliers (a mini active-set iteration); the second
     # pass rescues instances whose first guess was wrong
     polish_passes: int = 2
+    # per-pass KKT-solve hyperparameters (see qp.polish)
+    polish_delta: float = 1e-2
+    polish_sweeps: int = 6
     jacobian_mode: str = "fwd"
     termination: str = "step_norm"
     schedule: str = "early_exit"
@@ -184,6 +187,10 @@ class SQPSettings:
             raise ValueError("max_iter/line_search_max_iter must be > 0")
         if self.polish_passes < 0:
             raise ValueError("polish_passes must be >= 0")
+        if not (self.polish_delta > 0.0):
+            raise ValueError("polish_delta must be > 0")
+        if self.polish_sweeps < 1:
+            raise ValueError("polish_sweeps must be >= 1")
         if self.jacobian_mode not in ("fwd", "rev"):
             raise ValueError(f"jacobian_mode must be 'fwd' or 'rev', got {self.jacobian_mode}")
         if self.termination not in ("step_norm", "kkt"):

@@ -333,3 +333,26 @@ def test_kkt_solve_kernel_route_matches_xla(dtype):
     np.testing.assert_allclose(np.asarray(ker[1]), np.asarray(ref[1]),
                                atol=10 * tol, rtol=tol)
     assert not np.asarray(ker[2]).any()
+
+
+def test_polish_hyperparams_thread_through_settings():
+    """QPSettings.polish_delta / polish_sweeps reach the polish solve: one
+    sweep leaves a visibly larger delta-bias than the default six, and
+    invalid values are rejected eagerly."""
+    import dataclasses
+
+    qp = random_qp_batch(batch=8, n=10, m=14, seed=21, dtype=jnp.float64)
+    res = qp_solve_batch(qp, S)
+    pol6 = polish_qp(qp, res, S)
+    pol1 = polish_qp(qp, res, dataclasses.replace(S, polish_sweeps=1))
+    assert not np.allclose(np.asarray(pol1.x), np.asarray(pol6.x), atol=1e-12)
+
+    with pytest.raises(ValueError, match="polish_delta"):
+        dataclasses.replace(S, polish_delta=0.0).validate()
+    with pytest.raises(ValueError, match="polish_sweeps"):
+        dataclasses.replace(S, polish_sweeps=0).validate()
+
+    from sqp_solver_tpu.sqp import SQPSettings
+
+    with pytest.raises(ValueError, match="polish_delta"):
+        SQPSettings(polish_delta=-1.0).validate()
