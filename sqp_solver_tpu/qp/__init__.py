@@ -1,5 +1,6 @@
 from sqp_solver_tpu.qp.admm import qp_solve
 from sqp_solver_tpu.qp.api import QPSolver
+from sqp_solver_tpu.qp.diff import qp_solve_diff
 from sqp_solver_tpu.qp.classify import (
     EQUALITY_CONSTRAINT,
     INEQUALITY_CONSTRAINT,
@@ -19,6 +20,7 @@ from sqp_solver_tpu.qp.types import (
 
 __all__ = [
     "qp_solve",
+    "qp_solve_diff",
     "QPSolver",
     "QuadraticProblem",
     "QPSettings",

@@ -43,7 +43,10 @@ from jax import lax
 from sqp_solver_tpu.qp.classify import RHO_TOL
 from sqp_solver_tpu.qp.types import QPResult, QPSettings, QuadraticProblem
 
-__all__ = ["polish_qp", "kkt_solve_schur_refined", "guess_active_set"]
+__all__ = [
+    "polish_qp", "kkt_solve_schur_refined", "guess_active_set",
+    "active_masks",
+]
 
 
 def _mv(M, v):
@@ -58,17 +61,25 @@ def _linf(v):
     return jnp.max(jnp.abs(v), axis=-1)
 
 
-def guess_active_set(l, u, y):
-    """OSQP-style active-set guess from dual signs, with equality rows
-    (the classifier's criterion, u-l < RHO_TOL) ALWAYS active: an equality
-    constraint with a small multiplier is still a constraint — guessing it
-    inactive re-solves a different problem (catastrophic on equality-heavy
-    QPs like the huber family).  Returns (act, b) with b the target value
-    on active rows (0 on inactive)."""
+def active_masks(l, u, y):
+    """Classify rows from dual signs: ``(eq, act_low, act_up)`` — equality
+    rows (the classifier's criterion, u-l < RHO_TOL), and rows active at
+    the lower/upper bound (dual meaningfully negative/positive)."""
     eq = (u - l) < RHO_TOL
     ytol = 1e-5 * (1.0 + jnp.max(jnp.abs(y), axis=-1, keepdims=True))
     act_low = (y < -ytol) & ~eq
     act_up = (y > ytol) & ~eq
+    return eq, act_low, act_up
+
+
+def guess_active_set(l, u, y):
+    """OSQP-style active-set guess from dual signs, with equality rows
+    ALWAYS active: an equality constraint with a small multiplier is
+    still a constraint — guessing it inactive re-solves a different
+    problem (catastrophic on equality-heavy QPs like the huber family).
+    Returns (act, b) with b the target value on active rows (0 on
+    inactive)."""
+    eq, act_low, act_up = active_masks(l, u, y)
     act = act_low | act_up | eq
     b = jnp.where(
         eq, 0.5 * (l + u), jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
