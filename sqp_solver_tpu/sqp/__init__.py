@@ -1,5 +1,6 @@
 from sqp_solver_tpu.sqp.api import SQP
 from sqp_solver_tpu.sqp.bfgs import bfgs_update
+from sqp_solver_tpu.sqp.diff import sqp_solve_diff
 from sqp_solver_tpu.sqp.solver import sqp_solve
 from sqp_solver_tpu.sqp.types import (
     NonlinearProblem,
@@ -11,6 +12,7 @@ from sqp_solver_tpu.sqp.types import (
 
 __all__ = [
     "sqp_solve",
+    "sqp_solve_diff",
     "SQP",
     "bfgs_update",
     "NonlinearProblem",

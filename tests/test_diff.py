@@ -109,3 +109,87 @@ def test_single_problem_and_jit():
         qp_m = dataclasses.replace(qp, q=qp.q.at[i].add(-eps))
         fd = (float(_loss(qp_p, gvec)) - float(_loss(qp_m, gvec))) / (2 * eps)
         assert abs(fd - float(grads.q[i])) < 1e-5, (i, fd, float(grads.q[i]))
+
+
+class TestSQPDiff:
+    """Differentiable NLP layer: IFT gradients at the converged SQP
+    solution vs finite differences, on params AND bounds."""
+
+    def _problem(self):
+        from sqp_solver_tpu.sqp.types import NonlinearProblem
+
+        B, n = 3, 4
+        key = jax.random.PRNGKey(2)
+        theta = 1.0 + 0.2 * jax.random.normal(key, (B, n), jnp.float64)
+
+        def objective(x, th):
+            return -jnp.sum(th * x)
+
+        def constraint(x, th):
+            del th
+            return jnp.concatenate([jnp.array([x @ x]), x])
+
+        r = jnp.array([1.2, 1.5, 0.9], jnp.float64)
+        l = jnp.zeros((B, n + 1), jnp.float64)
+        u = jnp.concatenate(
+            [(r**2)[:, None], jnp.full((B, n), 2.0, jnp.float64)], axis=1
+        )
+        problem = NonlinearProblem(
+            l=l, u=u, params=theta, objective=objective, constraint=constraint
+        )
+        x0 = jnp.full((B, n), 0.3, jnp.float64)
+        return problem, x0
+
+    def _settings(self):
+        from sqp_solver_tpu.sqp import SQPSettings
+        from sqp_solver_tpu.qp import QPSettings
+
+        return SQPSettings(
+            max_iter=40, eps_prim=1e-9, eps_dual=1e-9, termination="kkt",
+            polish=True, polish_passes=2,
+            qp=QPSettings(alpha=1.6, eps_abs=1e-10, eps_rel=1e-10,
+                          max_iter=20000, check_termination=25,
+                          warm_start=True, adaptive_rho=True),
+        )
+
+    def test_sqp_grads_match_finite_differences(self):
+        from sqp_solver_tpu.sqp import sqp_solve_diff
+
+        problem, x0 = self._problem()
+        settings = self._settings()
+        gvec = jax.random.normal(jax.random.PRNGKey(7), x0.shape, jnp.float64)
+
+        def loss_on(p):
+            return jnp.sum(gvec * sqp_solve_diff(p, x0, None, settings, "vmap"))
+
+        grads = jax.grad(loss_on)(problem)
+
+        eps = 1e-6
+        rng = np.random.default_rng(3)
+        for leaf in ("params", "u"):
+            base = np.asarray(getattr(problem, leaf))
+            for fi in rng.choice(base.size, size=4, replace=False):
+                idx = np.unravel_index(fi, base.shape)
+                pert = np.zeros_like(base)
+                pert[idx] = eps
+                p_p = dataclasses.replace(
+                    problem, **{leaf: jnp.asarray(base + pert)}
+                )
+                p_m = dataclasses.replace(
+                    problem, **{leaf: jnp.asarray(base - pert)}
+                )
+                fd = (float(loss_on(p_p)) - float(loss_on(p_m))) / (2 * eps)
+                an = float(np.asarray(getattr(grads, leaf))[idx])
+                assert abs(fd - an) < 1e-4 * (1.0 + abs(fd)), (
+                    leaf, idx, fd, an,
+                )
+
+    def test_x0_gradient_is_zero(self):
+        from sqp_solver_tpu.sqp import sqp_solve_diff
+
+        problem, x0 = self._problem()
+        settings = self._settings()
+        g = jax.grad(
+            lambda xx: jnp.sum(sqp_solve_diff(problem, xx, None, settings, "vmap"))
+        )(x0)
+        np.testing.assert_array_equal(np.asarray(g), 0.0)
