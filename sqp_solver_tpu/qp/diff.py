@@ -34,8 +34,12 @@ TPU-native for free.
 Caveats (standard for implicit differentiation of active-set solutions):
 the gradient is exact under strict complementarity and LICQ at x*;
 at degenerate solutions (weakly-active constraints) it is a subgradient
-choice.  Problems whose adjoint factorization fails (``fail`` lanes)
-return zero gradients rather than NaNs.
+choice.  Problems whose adjoint factorization fails (``fail`` lanes) or
+whose forward solve did not reach SOLVED return zero gradients rather
+than NaNs.  Gradient quality tracks forward accuracy: solve with tight
+tolerances (eps_abs/eps_rel ≲ 1e-8) and ``polish=True`` — at loose
+tolerances, eps-level dual noise can flip the active-set classification
+and silently bias the gradient even on SOLVED lanes.
 """
 
 from __future__ import annotations
@@ -90,13 +94,13 @@ def _solve_fwd_parts(qp, settings, impl):
 
 
 def _fwd(qp, settings, impl):
-    x, y, _ = _solve_fwd_parts(qp, settings, impl)
-    return x, (qp, x, y)
+    x, y, info = _solve_fwd_parts(qp, settings, impl)
+    return x, (qp, x, y, info.status)
 
 
 def _bwd(settings, impl, residuals, g):
     del impl
-    qp, x, y = residuals
+    qp, x, y, status = residuals
     P, A, l, u = qp.P, qp.A, qp.l, qp.u
     with jax.default_matmul_precision("highest"):
         eq, act_low, act_up = active_masks(l, u, y)
@@ -111,9 +115,11 @@ def _bwd(settings, impl, residuals, g):
             P, A_m, act, -g, jnp.zeros_like(l),
             delta=settings.polish_delta, sweeps=settings.polish_sweeps,
         )
-        # failed lanes (non-SPD reduced system: IFT assumptions violated)
-        # contribute zero gradient instead of poisoning the training step
-        ok = ~fail
+        # failed lanes (non-SPD reduced system) and non-SOLVED forward
+        # lanes (MAX_ITER / NUMERICAL_ISSUES / INFEASIBLE: the IFT premise
+        # "y is the converged dual" is false) contribute zero gradient
+        # instead of poisoning the training step
+        ok = jnp.logical_and(~fail, status == 0)
         okx = ok[..., None] if dz_x.ndim > 1 else ok
         dz_x = jnp.where(okx, dz_x, 0.0)
         dz_nu = jnp.where(okx, dz_nu, 0.0)

@@ -75,6 +75,14 @@ def _solve_x(problem, x0, lam0, settings, impl):
 
 
 def _fwd(problem, x0, lam0, settings, impl):
+    if problem.objective is None or problem.constraint is None:
+        raise ValueError(
+            "sqp_solve_diff requires the raw `objective` and `constraint` "
+            "callables: the backward pass re-linearizes the NLP KKT system "
+            "with jax.hessian/jax.vjp of those callables.  Problems built "
+            "from only the closed-form *_linearized hooks solve fine "
+            "forward (sqp_solve) but cannot be differentiated through."
+        )
     if x0.ndim == 1:
         from sqp_solver_tpu.sqp.solver import sqp_solve
 
@@ -83,47 +91,62 @@ def _fwd(problem, x0, lam0, settings, impl):
         from sqp_solver_tpu.parallel.batch import sqp_solve_batch
 
         res = sqp_solve_batch(problem, x0, lam0, settings, impl=impl)
-    return res.x, (problem, x0, lam0, res.x, res.lam)
+    return res.x, (problem, x0, lam0, res.x, res.lam, res.info.status)
 
 
 def _bwd(settings, impl, residuals, g):
     del impl
-    problem, x0, lam0, x, lam = residuals
+    problem, x0, lam0, x, lam, status = residuals
     l, u, params = problem.l, problem.u, problem.params
     has_params = params is not None
     f_raw = problem.objective
     c_raw = problem.constraint
     batched = x.ndim > 1
 
-    # per-problem linearization pieces, vmapped batch-first when batched
-    def pieces_one(x1, lam1, th1=None):
+    # constraint value + Jacobian first: the active-set classification
+    # needs c(x*), and the Lagrangian Hessian below uses the multipliers
+    # MASKED to that active set (matching qp.diff's treatment of nu —
+    # sub-threshold multipliers on inactive rows must not leak into H)
+    def cj_one(x1, th1=None):
+        c1 = (lambda xx: c_raw(xx, th1)) if has_params else c_raw
+        return c1(x1), jax.jacfwd(c1)(x1)
+
+    if batched:
+        cv, J = (
+            jax.vmap(cj_one)(x, params) if has_params else jax.vmap(cj_one)(x)
+        )
+    else:
+        cv, J = cj_one(x, params) if has_params else cj_one(x)
+
+    # classification at the converged point: the solver's own rule
+    # (shifted bounds + multiplier signs, sqp.common.polish_nlp)
+    eq, low, up = active_masks(l - cv, u - cv, lam)
+    act = eq | low | up
+    lam_m = jnp.where(act, lam, 0.0)
+
+    def hess_one(x1, lam1, th1=None):
         f1 = (lambda xx: f_raw(xx, th1)) if has_params else f_raw
         c1 = (lambda xx: c_raw(xx, th1)) if has_params else c_raw
-        cv = c1(x1)
-        J1 = jax.jacfwd(c1)(x1)
         lagr = lambda xx: f1(xx) + jnp.dot(lam1, c1(xx))
-        H1 = jax.hessian(lagr)(x1)
-        return cv, J1, H1
+        return jax.hessian(lagr)(x1)
 
     if batched:
         in_axes = (0, 0, 0) if has_params else (0, 0)
-        args = (x, lam, params) if has_params else (x, lam)
-        cv, J, H = jax.vmap(pieces_one, in_axes=in_axes)(*args)
+        args = (x, lam_m, params) if has_params else (x, lam_m)
+        H = jax.vmap(hess_one, in_axes=in_axes)(*args)
     else:
-        cv, J, H = pieces_one(x, lam, params) if has_params else pieces_one(x, lam)
+        H = hess_one(x, lam_m, params) if has_params else hess_one(x, lam_m)
 
     with jax.default_matmul_precision("highest"):
-        # classification at the converged point: the solver's own rule
-        # (shifted bounds + multiplier signs, sqp.common.polish_nlp)
-        eq, low, up = active_masks(l - cv, u - cv, lam)
-        act = eq | low | up
         J_m = jnp.where(act[..., None], J, 0.0)
 
         dz_x, dz_nu, fail = kkt_solve_schur_refined(
             H, J_m, act, -g, jnp.zeros_like(l),
             delta=settings.polish_delta, sweeps=settings.polish_sweeps,
         )
-        ok = ~fail
+        # non-SOLVED lanes (MAX_ITER, NUMERICAL_ISSUES) violate the IFT
+        # premise — zero their gradients like adjoint-factorization fails
+        ok = jnp.logical_and(~fail, status == 0)
         okx = ok[..., None] if dz_x.ndim > 1 else ok
         dz_x = jnp.where(okx, dz_x, 0.0)
         dz_nu = jnp.where(jnp.logical_and(okx, act), dz_nu, 0.0)
@@ -144,9 +167,9 @@ def _bwd(settings, impl, residuals, g):
             if batched:
                 F = lambda th: jax.vmap(
                     kkt_pieces_one, in_axes=(0, 0, 0, 0)
-                )(x, lam, act, th)
+                )(x, lam_m, act, th)
             else:
-                F = lambda th: kkt_pieces_one(x, lam, act, th)
+                F = lambda th: kkt_pieces_one(x, lam_m, act, th)
             _, vjp_fn = jax.vjp(F, params)
             (dparams,) = vjp_fn((dz_x, dz_nu))
         else:
