@@ -115,6 +115,29 @@ VPU_CEILING_FLOPS = 2.0e12  # FMA counted as 2 flops
 MXU_F32_PEAK_FLOPS = 4.9e13
 
 
+def sphere_cert_1e4(problem, res, log, label):
+    """Independent f64 KKT certification of a sphere-cap batch at the
+    reference SQP's own default tolerance (eps 1e-4, src/sqp.cpp:19-20):
+    exact stationarity ∇f + J'λ = −1 + 2λ₀x + λ_rest and primal
+    feasibility of ||x||² ≤ r², 0 ≤ x ≤ 1, evaluated in numpy float64
+    with no solver code on the path."""
+    xs = np.asarray(res.x, np.float64)
+    lam = np.asarray(res.lam, np.float64)
+    r2 = np.asarray(problem.u[:, 0], np.float64)
+    st = -1.0 + 2.0 * lam[:, 0:1] * xs + lam[:, 1:]
+    dr = np.abs(st).max(axis=1)
+    pv = np.maximum(np.sum(xs * xs, axis=1) - r2, 0.0)
+    pv = np.maximum(pv, np.maximum(xs - 1.0, -xs).max(axis=1))
+    frac = float(np.mean((dr <= 1e-4) & (pv <= 1e-4)))
+    log(
+        f"  {label} 1e-4 certification (independent f64 KKT, the reference's "
+        f"own bar src/sqp.cpp:19-20): {frac:.3f} of batch has stationarity "
+        f"AND primal violation <= 1e-4 (dr_p99={np.percentile(dr,99):.1e} "
+        f"pv_p99={np.percentile(pv,99):.1e})"
+    )
+    return frac
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -209,6 +232,7 @@ def main():
             np.abs(np.asarray(res_acc.x, np.float64) - solution(prob_acc)), 99
         )
     )
+    sphere_cert_1e4(prob_acc, res_acc, log, f"headline n={N} B={B}")
     iters = np.asarray(res.info.iter)
     qp_iters = np.asarray(res.info.qp_solver_iter)
     sqp_per_sec = B / t_solve
@@ -325,6 +349,8 @@ def main():
             f"err_p99={err128:.2e}"
             + ("  [north star: >= 1e4 at n=128]" if B2 == 1024 else "")
         )
+        if B2 == 1024:
+            sphere_cert_1e4(prob128, r128a, log, f"n={N2} B={B2}")
 
     # ---- supplementary: large-n single NLP (BASELINE configs[4], n~4096) ----
     # blocked MXU Cholesky backend (SURVEY C6 north-star kernel): round-1
@@ -492,6 +518,193 @@ def main():
     log(
         f"qp batch: B={B} n=32 m=33 time={t_qp*1e3:.1f}ms -> {B/t_qp:.0f} qp/s; "
         f"solved={float(np.mean(np.asarray(qres.info.status)==0)):.3f}"
+    )
+
+    # ---- supplementary: OSQP-paper families (untuned breadth) ---------------
+    # The five problem classes the reference re-implements OSQP for
+    # (reference README.md:6; OSQP paper §5): random QP, lasso, huber,
+    # SVM, portfolio — generated ON DEVICE (models/families.py device
+    # twins), solved on the flagship kernel tier at the reference's own
+    # 1e-4 tolerance, statuses certified against TRUE residuals
+    # (polish-refreshed), accuracy against the long-double C++ oracle
+    # (runtime/native.py) on a 128-problem subsample.  One shared,
+    # UNTUNED config for every row: Ruiz scaling=10 (the OSQP capability
+    # the reference dropped; without it huber/portfolio stall at any
+    # budget — measured round 4), max_iter=250 fixed schedule, polish.
+    from sqp_solver_tpu.models import families as fam
+    from sqp_solver_tpu.runtime.native import (
+        native_available,
+        native_qp_solve_batch,
+    )
+
+    Bf = 1024
+    fam_settings = QPSettings(
+        alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=250,
+        check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
+        polish=True, scaling=10, schedule="fixed",
+    )
+    fam_rows = (
+        ("random n=32 m=48", lambda k: fam.random_qp_batch_device(k, Bf, 32, 48)),
+        ("lasso nf=8 ns=16", lambda k: fam.lasso_qp_batch_device(k, Bf, 8, 16)),
+        ("huber nf=8 ns=16", lambda k: fam.huber_qp_batch_device(k, Bf, 8, 16)),
+        ("svm nf=8 ns=16", lambda k: fam.svm_qp_batch_device(k, Bf, 8, 16)),
+        ("portfolio na=16 nk=4", lambda k: fam.portfolio_qp_batch_device(k, Bf, 16, 4)),
+    )
+    oracle_settings = QPSettings(
+        eps_abs=1e-10, eps_rel=1e-10, max_iter=20000, adaptive_rho=True
+    )
+    for fname, build_f in fam_rows:
+        solve_f = jax.jit(
+            lambda key, b=build_f: qp_solve_batch(b(key), fam_settings, impl="kernel")
+        )
+        _ = np.asarray(solve_f(jax.random.PRNGKey(0)).info.status)
+        tf = []
+        for rep in (1, 2, 3):
+            key = jax.random.PRNGKey(salt + 512 + rep)
+            jax.block_until_ready(key)
+            t0 = time.perf_counter()
+            rf = solve_f(key)
+            _ = np.asarray(rf.info.status)
+            tf.append(time.perf_counter() - t0)
+        solved_f = float(np.mean(np.asarray(rf.info.status) == 0))
+        if native_available():
+            key_a = jax.random.PRNGKey(salt + 999)
+            prob_f = jax.jit(
+                lambda k, b=build_f: jax.tree_util.tree_map(
+                    lambda x: x[:128], b(k)
+                )
+            )(key_a)
+            rf_a = solve_f(key_a)
+            x_or, _, st_or, _ = native_qp_solve_batch(
+                np.asarray(prob_f.P, np.float64), np.asarray(prob_f.q, np.float64),
+                np.asarray(prob_f.A, np.float64), np.asarray(prob_f.l, np.float64),
+                np.asarray(prob_f.u, np.float64), oracle_settings,
+            )
+            ok_or = st_or == 0
+            err_f = float(
+                np.percentile(
+                    np.abs(np.asarray(rf_a.x, np.float64)[:128][ok_or] - x_or[ok_or]),
+                    99,
+                )
+            )
+            acc = f"err_p99_vs_long_double_oracle={err_f:.2e} (oracle solved {int(ok_or.sum())}/128)"
+        else:
+            acc = "long-double oracle unavailable on this host"
+        log(
+            f"family {fname}: B={Bf} time={min(tf)*1e3:.1f}ms -> "
+            f"{Bf/min(tf):.0f} qp/s; solved={solved_f:.3f} @eps=1e-4; {acc}"
+        )
+
+    # ---- supplementary: multi-outer NLP (exp-chain, ~25 outers) -------------
+    # The sphere-cap headline converges in 2-3 damped Newton outers; this
+    # row is the honest multi-outer complement: a strictly-convex
+    # exponential-chain NLP (models/benchmark.py) whose damped-BFGS path
+    # needs ~20-35 outer iterations from the cold start.  Full fixed
+    # budget of 36 outers, statuses from the solver, certification from
+    # an INDEPENDENT f64 evaluation of the exact KKT residuals.
+    from sqp_solver_tpu.models.benchmark import (
+        exp_chain_kkt_residuals,
+        exp_chain_nlp_batch_device,
+    )
+
+    Be, Ne = 1024, 32
+    settings_exp = SQPSettings(
+        max_iter=36, eps_prim=1e-3, eps_dual=1e-3, termination="kkt",
+        schedule="fixed", qp_impl="kernel", polish=True, polish_passes=3,
+        line_search_max_iter=6,
+        qp=QPSettings(
+            alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=50,
+            check_termination=10, warm_start=True, adaptive_rho=True,
+            adaptive_rho_interval=50, schedule="fixed",
+        ),
+    )
+
+    def run_exp(key):
+        problem, x0 = exp_chain_nlp_batch_device(key, Be, Ne, jnp.float32)
+        return sqp_solve_batch(problem, x0, None, settings_exp, impl="fused")
+
+    solve_exp = jax.jit(run_exp)
+    _ = np.asarray(solve_exp(jax.random.PRNGKey(0)).info.status)
+    te = []
+    for rep in (1, 2, 3):
+        key = jax.random.PRNGKey(salt + 2048 + rep)
+        jax.block_until_ready(key)
+        t0 = time.perf_counter()
+        re_ = solve_exp(key)
+        _ = np.asarray(re_.info.status)
+        te.append(time.perf_counter() - t0)
+    key_e = jax.random.PRNGKey(salt + 2060)
+    prob_e, _ = jax.jit(
+        lambda k: exp_chain_nlp_batch_device(k, Be, Ne, jnp.float32)
+    )(key_e)
+    re_a = solve_exp(key_e)
+    pv_e, dr_e = exp_chain_kkt_residuals(prob_e, re_a.x, re_a.lam)
+    it_e = np.asarray(re_.info.iter)
+    cert_e = float(np.mean((pv_e <= 1e-4) & (dr_e <= 1e-4)))
+    log(
+        f"multi-outer NLP (exp-chain): n={Ne} B={Be} time={min(te)*1e3:.0f}ms -> "
+        f"{Be/min(te):.0f} solves/s; solved={float(np.mean(np.asarray(re_.info.status)==0)):.3f} "
+        f"iters p50={np.percentile(it_e,50):.0f} p99={np.percentile(it_e,99):.0f}; "
+        f"f64 KKT cert @1e-4: {cert_e:.3f} (dr_p99={np.percentile(dr_e,99):.1e})"
+        f"  [the >=8-outer row: full 36-outer fixed budget, no per-family tuning]"
+    )
+
+    # ---- supplementary: differentiable QP layer (fwd + bwd on TPU) ----------
+    # OptNet-style implicit differentiation THROUGH the solver
+    # (qp/diff.py) — the adjoint KKT solve rides the whole-pass Pallas
+    # polish kernel on TPU batches.  Timed: forward solve alone vs
+    # forward + backward (gradients to every problem leaf P, q, A, l, u).
+    from sqp_solver_tpu.qp.diff import qp_solve_diff
+
+    Bd, Nd = 1024, 128
+    diff_settings = QPSettings(
+        alpha=1.6, eps_abs=1e-5, eps_rel=1e-5, max_iter=200,
+        check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
+        polish=True, schedule="fixed",
+    )
+    build_d = lambda k: fam.random_qp_batch_device(k, Bd, Nd, Nd)
+
+    def fwd_only(key):
+        x = qp_solve_diff(build_d(key), diff_settings, "fused")
+        return jnp.sum(x * x)
+
+    def fwd_bwd(key):
+        qp_d = build_d(key)
+        loss, grads = jax.value_and_grad(
+            lambda q: jnp.sum(qp_solve_diff(q, diff_settings, "fused") ** 2)
+        )(qp_d)
+        # tiny scalar that depends on EVERY gradient leaf: forces the
+        # backward pass inside the timed region
+        gsum = (
+            jnp.sum(jnp.abs(grads.q)) + jnp.sum(jnp.abs(grads.P))
+            + jnp.sum(jnp.abs(grads.A)) + jnp.sum(jnp.abs(grads.l))
+            + jnp.sum(jnp.abs(grads.u))
+        )
+        return loss, gsum
+
+    f_fwd = jax.jit(fwd_only)
+    f_fb = jax.jit(fwd_bwd)
+    _ = np.asarray(f_fwd(jax.random.PRNGKey(0)))
+    _ = np.asarray(f_fb(jax.random.PRNGKey(0))[1])
+    td_f, td_b = [], []
+    for rep in (1, 2, 3):
+        key = jax.random.PRNGKey(salt + 4096 + rep)
+        jax.block_until_ready(key)
+        t0 = time.perf_counter()
+        _ = np.asarray(f_fwd(key))
+        td_f.append(time.perf_counter() - t0)
+        key2 = jax.random.PRNGKey(salt + 4200 + rep)
+        jax.block_until_ready(key2)
+        t0 = time.perf_counter()
+        lo_, gs_ = f_fb(key2)
+        _ = np.asarray(gs_)
+        td_b.append(time.perf_counter() - t0)
+    gs_f = float(np.asarray(gs_))
+    log(
+        f"differentiable QP (qp_solve_diff): B={Bd} n={Nd} forward={min(td_f)*1e3:.0f}ms, "
+        f"forward+backward={min(td_b)*1e3:.0f}ms (backward adds "
+        f"{(min(td_b)-min(td_f))*1e3:.0f}ms; adjoint rides the Pallas polish "
+        f"kernel); grad-magnitude sum={gs_f:.3e} (finite)"
     )
 
     # ---- supplementary: Anderson acceleration (fused tier) ------------------

@@ -28,6 +28,9 @@ import dataclasses  # noqa: E402
 
 
 def main():
+    # SQP_EXAMPLE_QUICK=1 (the test-suite smoke mode) shrinks the descent
+    # budget; the full demo runs 300 Adam steps
+    quick = os.environ.get("SQP_EXAMPLE_QUICK") == "1"
     B, n, m = 8, 6, 9
     qp = random_qp_batch(batch=B, n=n, m=m, seed=3, dtype=jnp.float64)
     # widen the boxes so most rows are inactive at the optimum: x*(q) is
@@ -56,11 +59,12 @@ def main():
     loss0 = float(loss(q_param))
     opt = optax.adam(5e-2)
     opt_state = opt.init(q_param)
-    for step in range(300):
+    n_steps = 25 if quick else 300
+    for step in range(n_steps):
         val, grad = gfn(q_param)
         updates, opt_state = opt.update(grad, opt_state)
         q_param = optax.apply_updates(q_param, updates)
-        if step % 50 == 0 or step == 299:
+        if step % 50 == 0 or step == n_steps - 1:
             print(f"step {step:3d}: loss={float(val):.3e}", file=sys.stderr)
 
     final = float(loss(q_param))
@@ -68,7 +72,8 @@ def main():
     # a residual floor can remain when an instance's target lies on a
     # different active-set piece than the perturbed start (x*(q) is only
     # piecewise smooth); the demo's contract is a large reduction
-    assert final < 0.05 * loss0, (
+    reduction = 0.5 if quick else 0.05
+    assert final < reduction * loss0, (
         "gradient descent through the QP failed to make progress"
     )
     print("learned cost approaches the target solutions; gradients flowed "

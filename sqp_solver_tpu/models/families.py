@@ -34,6 +34,11 @@ __all__ = [
     "huber_qp_batch",
     "svm_qp_batch",
     "portfolio_qp_batch",
+    "random_qp_batch_device",
+    "lasso_qp_batch_device",
+    "huber_qp_batch_device",
+    "svm_qp_batch_device",
+    "portfolio_qp_batch_device",
 ]
 
 _INF = 1e20  # loose bound beyond the classifier's LOOSE_BOUNDS_THRESH (1e16)
@@ -277,3 +282,238 @@ def portfolio_qp_batch(
     )
     meta = dict(mu=mu, F=F, D=D, gamma=gamma)
     return _as_problem(P, q, A, l, u, dtype), meta
+
+
+# ---------------------------------------------------------------------------
+# Device-side (jit-traceable) generators
+#
+# Benchmark counterparts of the host builders above: identical problem
+# distributions, generated ON DEVICE from a PRNG key so a timing harness
+# can fuse generation + solve into one program with a fresh key per rep
+# (host->device upload of a B>=1024 batch costs tens of ms through a
+# tunneled chip and the runtime memoizes repeated identical dispatches —
+# see bench.py's methodology notes).  Each returns only the
+# QuadraticProblem; accuracy oracles fetch the generated leaves to host.
+# ---------------------------------------------------------------------------
+
+
+def _beye(n, dtype):
+    return jnp.eye(n, dtype=dtype)
+
+
+def random_qp_batch_device(
+    key, batch: int, n: int = 32, m: int = 48, dtype=jnp.float32
+) -> QuadraticProblem:
+    """Device-side twin of :func:`sqp_solver_tpu.models.mpc.random_qp_batch`:
+    random strictly-convex QPs with guaranteed-feasible bounds."""
+    import jax
+
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    M = jax.random.normal(k1, (batch, n, n), dtype) / jnp.sqrt(
+        jnp.asarray(n, dtype)
+    )
+    P = jnp.einsum("bij,bkj->bik", M, M) + 0.1 * _beye(n, dtype)
+    q = jax.random.normal(k2, (batch, n), dtype)
+    A = jax.random.normal(k3, (batch, m, n), dtype) / jnp.sqrt(
+        jnp.asarray(n, dtype)
+    )
+    x_feas = jax.random.normal(k4, (batch, n), dtype)
+    Ax = jnp.einsum("bmn,bn->bm", A, x_feas)
+    width = jax.random.uniform(k5, (batch, m), dtype, 0.1, 2.0)
+    return QuadraticProblem(P=P, q=q, A=A, l=Ax - width, u=Ax + width)
+
+
+def lasso_qp_batch_device(
+    key,
+    batch: int,
+    n_features: int = 8,
+    n_samples: int = 16,
+    lam_frac: float = 0.1,
+    dtype=jnp.float32,
+) -> QuadraticProblem:
+    """Device-side twin of :func:`lasso_qp_batch` (same lifting/scales)."""
+    import jax
+
+    nf, ns = n_features, n_samples
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    F = jax.random.normal(k1, (batch, ns, nf), dtype) / jnp.sqrt(
+        jnp.asarray(nf, dtype)
+    )
+    x_true = jax.random.normal(k2, (batch, nf), dtype) * (
+        jax.random.uniform(k3, (batch, nf), dtype) < 0.5
+    )
+    b = jnp.einsum("bsn,bn->bs", F, x_true) + 0.1 * jax.random.normal(
+        k4, (batch, ns), dtype
+    )
+    lam = lam_frac * jnp.max(
+        jnp.abs(jnp.einsum("bsn,bs->bn", F, b)), axis=1, keepdims=True
+    )
+
+    nz = nf + ns + nf
+    P = jnp.zeros((batch, nz, nz), dtype)
+    P = P.at[:, nf : nf + ns, nf : nf + ns].set(_beye(ns, dtype))
+    q = jnp.concatenate(
+        [jnp.zeros((batch, nf + ns), dtype), jnp.broadcast_to(lam, (batch, nf))],
+        axis=1,
+    )
+
+    m = ns + 2 * nf
+    A = jnp.zeros((batch, m, nz), dtype)
+    A = A.at[:, :ns, :nf].set(F)
+    A = A.at[:, :ns, nf : nf + ns].set(-_beye(ns, dtype))
+    A = A.at[:, ns : ns + nf, :nf].set(_beye(nf, dtype))
+    A = A.at[:, ns : ns + nf, nf + ns :].set(-_beye(nf, dtype))
+    A = A.at[:, ns + nf :, :nf].set(_beye(nf, dtype))
+    A = A.at[:, ns + nf :, nf + ns :].set(_beye(nf, dtype))
+
+    inf = jnp.full((batch, nf), _INF, dtype)
+    zero = jnp.zeros((batch, nf), dtype)
+    l = jnp.concatenate([b, -inf, zero], axis=1)
+    u = jnp.concatenate([b, zero, inf], axis=1)
+    return QuadraticProblem(P=P, q=q, A=A, l=l, u=u)
+
+
+def huber_qp_batch_device(
+    key,
+    batch: int,
+    n_features: int = 8,
+    n_samples: int = 16,
+    M: float = 1.0,
+    dtype=jnp.float32,
+) -> QuadraticProblem:
+    """Device-side twin of :func:`huber_qp_batch` (outliers included)."""
+    import jax
+
+    nf, ns = n_features, n_samples
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    F = jax.random.normal(k1, (batch, ns, nf), dtype) / jnp.sqrt(
+        jnp.asarray(nf, dtype)
+    )
+    x_true = jax.random.normal(k2, (batch, nf), dtype)
+    noise = 0.1 * jax.random.normal(k3, (batch, ns), dtype)
+    outlier = (
+        (jax.random.uniform(k4, (batch, ns), dtype) < 0.2)
+        * jax.random.normal(k5, (batch, ns), dtype)
+        * 5.0
+    )
+    b = jnp.einsum("bsn,bn->bs", F, x_true) + noise + outlier
+
+    nz = nf + 3 * ns
+    P = jnp.zeros((batch, nz, nz), dtype)
+    P = P.at[:, nf : nf + ns, nf : nf + ns].set(2.0 * _beye(ns, dtype))
+    q = jnp.concatenate(
+        [
+            jnp.zeros((batch, nf + ns), dtype),
+            jnp.full((batch, 2 * ns), 2.0 * M, dtype),
+        ],
+        axis=1,
+    )
+
+    m = 3 * ns
+    A = jnp.zeros((batch, m, nz), dtype)
+    A = A.at[:, :ns, :nf].set(F)
+    A = A.at[:, :ns, nf : nf + ns].set(-_beye(ns, dtype))
+    A = A.at[:, :ns, nf + ns : nf + 2 * ns].set(-_beye(ns, dtype))
+    A = A.at[:, :ns, nf + 2 * ns :].set(_beye(ns, dtype))
+    A = A.at[:, ns : 2 * ns, nf + ns : nf + 2 * ns].set(_beye(ns, dtype))
+    A = A.at[:, 2 * ns :, nf + 2 * ns :].set(_beye(ns, dtype))
+
+    l = jnp.concatenate([b, jnp.zeros((batch, 2 * ns), dtype)], axis=1)
+    u = jnp.concatenate([b, jnp.full((batch, 2 * ns), _INF, dtype)], axis=1)
+    return QuadraticProblem(P=P, q=q, A=A, l=l, u=u)
+
+
+def svm_qp_batch_device(
+    key,
+    batch: int,
+    n_features: int = 8,
+    n_samples: int = 16,
+    lam: float = 1.0,
+    dtype=jnp.float32,
+) -> QuadraticProblem:
+    """Device-side twin of :func:`svm_qp_batch` (flip-noise labels)."""
+    import jax
+
+    nf, ns = n_features, n_samples
+    k1, k2, k3 = jax.random.split(key, 3)
+    F = jax.random.normal(k1, (batch, ns, nf), dtype)
+    w_true = jax.random.normal(k2, (batch, nf), dtype)
+    margin = jnp.einsum("bsn,bn->bs", F, w_true)
+    flip = jnp.where(jax.random.uniform(k3, (batch, ns), dtype) < 0.1, -1.0, 1.0)
+    b_lab = jnp.where(margin >= 0, 1.0, -1.0).astype(dtype) * flip
+
+    nz = nf + ns
+    P = jnp.zeros((batch, nz, nz), dtype)
+    P = P.at[:, :nf, :nf].set(_beye(nf, dtype))
+    q = jnp.concatenate(
+        [jnp.zeros((batch, nf), dtype), jnp.full((batch, ns), lam, dtype)],
+        axis=1,
+    )
+
+    m = 2 * ns
+    A = jnp.zeros((batch, m, nz), dtype)
+    A = A.at[:, :ns, :nf].set(b_lab[:, :, None] * F)
+    A = A.at[:, :ns, nf:].set(_beye(ns, dtype))
+    A = A.at[:, ns:, nf:].set(_beye(ns, dtype))
+    l = jnp.concatenate(
+        [jnp.ones((batch, ns), dtype), jnp.zeros((batch, ns), dtype)], axis=1
+    )
+    u = jnp.full((batch, m), _INF, dtype)
+    return QuadraticProblem(P=P, q=q, A=A, l=l, u=u)
+
+
+def portfolio_qp_batch_device(
+    key,
+    batch: int,
+    n_assets: int = 16,
+    n_factors: int = 4,
+    gamma: float = 1.0,
+    dtype=jnp.float32,
+) -> QuadraticProblem:
+    """Device-side twin of :func:`portfolio_qp_batch` (factor risk model)."""
+    import jax
+
+    na, nk = n_assets, n_factors
+    k1, k2, k3 = jax.random.split(key, 3)
+    F = jax.random.normal(k1, (batch, na, nk), dtype) / jnp.sqrt(
+        jnp.asarray(nk, dtype)
+    )
+    D = (
+        jax.random.uniform(k2, (batch, na), dtype)
+        * jnp.sqrt(jnp.asarray(nk, dtype))
+        * 0.1
+        + 1e-2
+    )
+    mu = jax.random.normal(k3, (batch, na), dtype) * 0.1
+
+    nz = na + nk
+    P = jnp.zeros((batch, nz, nz), dtype)
+    idx = jnp.arange(na)
+    P = P.at[:, idx, idx].set(2.0 * gamma * D)
+    kdx = jnp.arange(na, nz)
+    P = P.at[:, kdx, kdx].set(2.0 * gamma)
+    q = jnp.concatenate([-mu, jnp.zeros((batch, nk), dtype)], axis=1)
+
+    m = nk + 1 + na
+    A = jnp.zeros((batch, m, nz), dtype)
+    A = A.at[:, :nk, :na].set(F.transpose(0, 2, 1))
+    A = A.at[:, :nk, na:].set(-_beye(nk, dtype))
+    A = A.at[:, nk, :na].set(1.0)
+    A = A.at[:, nk + 1 :, :na].set(_beye(na, dtype))
+    l = jnp.concatenate(
+        [
+            jnp.zeros((batch, nk), dtype),
+            jnp.ones((batch, 1), dtype),
+            jnp.zeros((batch, na), dtype),
+        ],
+        axis=1,
+    )
+    u = jnp.concatenate(
+        [
+            jnp.zeros((batch, nk), dtype),
+            jnp.ones((batch, 1), dtype),
+            jnp.ones((batch, na), dtype),
+        ],
+        axis=1,
+    )
+    return QuadraticProblem(P=P, q=q, A=A, l=l, u=u)
