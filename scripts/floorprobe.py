@@ -21,7 +21,7 @@ build = bench_mod.make_problem_generator(B, N, jnp.float32)
 settings = SQPSettings(
     max_iter=2, eps_prim=2e-3, eps_dual=2e-3, termination="kkt",
     schedule="fixed", qp_impl="kernel", polish=True, polish_passes=3,
-    line_search_max_iter=10,
+    polish_sweeps=4, line_search_max_iter=5,
     qp=QPSettings(alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=50,
                   check_termination=10, warm_start=True, adaptive_rho=True,
                   adaptive_rho_interval=50, schedule="fixed"),
@@ -35,11 +35,12 @@ def runK(key, K):
         acc = acc + jnp.sum(r.x) * 1e-9
     return acc
 
+salt = int(time.time_ns()) % (2**30)
 for K in (1, 2, 3):
     f = jax.jit(lambda key, K=K: runK(key, K))
     _ = np.asarray(f(jax.random.PRNGKey(0)))
     ts = []
     for rep in (1, 2, 3, 4):
-        key = jax.random.PRNGKey(rep); jax.block_until_ready(key)
+        key = jax.random.PRNGKey(salt + rep); jax.block_until_ready(key)
         t0 = time.perf_counter(); _ = np.asarray(f(key)); ts.append(time.perf_counter() - t0)
     log(f"K={K}: {min(ts)*1e3:.1f}ms  (all: {[f'{t*1e3:.0f}' for t in ts]})")

@@ -598,7 +598,11 @@ def _polish_kkt_body(
     act = act_ref[:]   # (m, TL) f32 0/1 active mask
     r1 = r1_ref[:]     # (n, TL)
     b = b_ref[:]       # (m, TL) active-row targets (zero on inactive)
-    Jm = Jm_ref[:]     # (m, n, TL) active-masked Jacobian
+    # active-row masking happens HERE, in VMEM: callers pass the raw
+    # Jacobian and skip the XLA-level (m, n, B) mask pass (~134 MB of
+    # HBM traffic per polish pass at bench shapes).  Pre-masked input is
+    # harmless (act is idempotent).
+    Jm = Jm_ref[:] * act[:, None, :]   # (m, n, TL) active-masked Jacobian
     TL = r1.shape[-1]
     dtype = r1.dtype
 
@@ -606,13 +610,13 @@ def _polish_kkt_body(
 
     def do_factor(_):
         # L^-1 of M = H + delta I + (1/delta) Jm'Jm -> li_ref; the
-        # 1/delta Gram scaling rides the A_col reads so Jm*inv_d is
-        # never materialized.  ltl=False: the sweeps apply Minv as
-        # Li'(Li t) — two full-array passes per sweep beat the n-trip
-        # LtL build loop
+        # 1/delta Gram scaling and the active-row mask ride the A_col
+        # reads so Jm*inv_d is never materialized.  ltl=False: the
+        # sweeps apply Minv as Li'(Li t) — two full-array passes per
+        # sweep beat the n-trip LtL build loop
         return _factor_schur_refs(
             lambda r: H_ref[r],
-            lambda c: Jm_ref[:, c] * inv_d,
+            lambda c: Jm_ref[:, c] * (act * inv_d),
             Jm,
             delta, w_ref, l_ref, li_ref, ltl=False,
         )
@@ -715,7 +719,9 @@ def polish_kkt_kernel(
     """Batched active-set KKT polish solve in kernel layout.
 
     Inputs: ``Ht (n, n, B)`` Lagrangian Hessian, ``Jmt (m, n, B)``
-    active-masked Jacobian, ``actt (m, B)`` 0/1 active mask, ``r1t (n,
+    Jacobian (masking by ``actt`` happens IN-KERNEL — pre-masked input
+    is accepted, the mask is idempotent), ``actt (m, B)`` 0/1 active
+    mask, ``r1t (n,
     B)`` stationarity rhs (``-grad_f``), ``bt (m, B)`` active-row
     targets, ``nu0t (m, B)`` multiplier warm start, optional ``x0t (n,
     B)`` primal warm start (the sweeps then return the ABSOLUTE x, not a

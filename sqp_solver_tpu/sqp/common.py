@@ -301,15 +301,19 @@ def polish_nlp_t(
     dtype = x_out.dtype
     kkt_rescued = jnp.zeros(batch_shape, jnp.bool_)
     stat_f = viol_f = None
+    # linearize ONCE up front; later passes reuse the scoring step's
+    # linearization of whichever point they accepted (a per-lane select
+    # instead of a second full c_lin_t/f_lin evaluation per pass)
+    _, grad_f = f_lin(x_out)
+    c_f, J_t = c_lin_t(x_out)  # (B, m), (m, n, B)
     for _pol_pass in range(settings.polish_passes):
-        _, grad_f = f_lin(x_out)
-        c_f, J_t = c_lin_t(x_out)  # (B, m), (m, n, B)
         act, b_t = guess_active_set(l - c_f, u - c_f, lam_out)
         H_t = hess_fn_t(x_out, lam_out)  # (n, n, B)
         act_t = act.T.astype(dtype)  # (m, B)
-        Jm_t = J_t * act_t[:, None, :]
+        # J is masked by act INSIDE the kernel (saves the (m, n, B)
+        # XLA-level mask pass)
         dx_t, nu_t, fail_row, _ = polish_kkt_kernel(
-            H_t, Jm_t, act_t, -grad_f.T, b_t.T, lam_out.T,
+            H_t, J_t, act_t, -grad_f.T, b_t.T, lam_out.T,
             delta=settings.polish_delta, sweeps=settings.polish_sweeps,
             interpret=interpret,
         )
@@ -336,4 +340,9 @@ def polish_nlp_t(
         stat_f = jnp.where(better, stat_p, stat_o)
         viol_f = jnp.where(better, viol_p, viol_o)
         kkt_rescued = (stat_f <= settings.eps_dual) & (viol_f <= settings.eps_prim)
+        if _pol_pass + 1 < settings.polish_passes:
+            # next pass's linearization at the accepted point, by select
+            grad_f = jnp.where(better[..., None], g_p, grad_f)
+            c_f = jnp.where(better[..., None], c_p, c_f)
+            J_t = jnp.where(better[None, None, :], J_p, J_t)
     return x_out, lam_out, kkt_rescued

@@ -293,11 +293,15 @@ def sqp_solve_kernel_fused(
             c = c._replace(done=c.done | newly_done)
             active = active & ~newly_done
 
-        # BFGS masks; the update itself runs inside the kernel
+        # BFGS masks; the update itself runs inside the kernel.  reset and
+        # upd are masked by `active` HERE so inactive lanes pass their B
+        # through unchanged inside the BFGS (kernel or XLA variant) — the
+        # previous separate Bt_next = where(active, ...) pass cost ~200 MB
+        # of HBM traffic per outer iteration at bench shapes.
         delta_grad_L = grad_L_here - c.grad_L
         tiny_step = _linf(c.step_prev) <= 1e3 * tiny * (1.0 + _linf(c.x))
-        reset = jnp.broadcast_to(k == 1, (B,)) | c.ls_failed
-        upd = ~tiny_step
+        reset = (jnp.broadcast_to(k == 1, (B,)) | c.ls_failed) & active
+        upd = ~tiny_step & active
 
         soc = settings.second_order_correction
         if fuse_bfgs:
@@ -388,10 +392,10 @@ def sqp_solve_kernel_fused(
         sel = lambda newv, oldv: jnp.where(
             active.reshape((B,) + (1,) * (newv.ndim - 1)), newv, oldv
         )
-        # Bt_new: inactive lanes pass B through unchanged inside the kernel
-        # (msk upd=0 and reset only applies to active lanes' resets), except
-        # stale ls_failed lanes — mask those at the XLA level
-        Bt_next = jnp.where(active[None, None, :], Bt_new, c.Bt)
+        # Bt_new: inactive lanes pass B through unchanged inside the BFGS
+        # itself — reset and upd are active-masked above, so no XLA-level
+        # (n, n, B) select is needed here
+        Bt_next = Bt_new
         return _Carry(
             x=x_new,
             lam=lam_new,
