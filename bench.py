@@ -760,11 +760,18 @@ def main():
         _ = np.asarray(gs_)
         td_b.append(time.perf_counter() - t0)
     gs_f = float(np.asarray(gs_))
+    # relay wall time varies ~20% between dispatches; a small backward
+    # increment can be swamped by that noise (negative deltas are noise)
+    bwd_ms = (min(td_b) - min(td_f)) * 1e3
+    bwd_note = (
+        f"backward adds {bwd_ms:.0f}ms"
+        if bwd_ms >= 0
+        else "backward cost below relay timing noise (~20%)"
+    )
     log(
         f"differentiable QP (qp_solve_diff): B={Bd} n={Nd} forward={min(td_f)*1e3:.0f}ms, "
-        f"forward+backward={min(td_b)*1e3:.0f}ms (backward adds "
-        f"{(min(td_b)-min(td_f))*1e3:.0f}ms; adjoint rides the Pallas polish "
-        f"kernel); grad-magnitude sum={gs_f:.3e} (finite)"
+        f"forward+backward={min(td_b)*1e3:.0f}ms ({bwd_note}; adjoint rides "
+        f"the Pallas polish kernel); grad-magnitude sum={gs_f:.3e} (finite)"
     )
 
     # ---- supplementary: Anderson acceleration (fused tier) ------------------

@@ -823,7 +823,7 @@ def _admm_core(
     *, sigma, alpha, eps_abs, eps_rel, n_epochs, chunks_per_epoch, seg,
     adaptive_rho, adaptive_rho_tolerance, eye_n, loose, equality,
     factor_fn, check_infeas=False, eps_pinf=1e-4, eps_dinf=1e-4,
-    use_aa=False, aa_mem=4,
+    use_aa=False, aa_mem=4, pmv=None, apply_minv=None, amv=None, atmv=None,
 ):
     """The whole ADMM solve for one lane tile, in transposed layout.
 
@@ -837,9 +837,26 @@ def _admm_core(
     (SQP-level inactivity), `pending`/`Minv` control whether the first
     epoch factors (the SQP step kernel factors outside for its posdef
     fallback; SOC re-solves reuse the factor entirely).
+
+    Structured-KKT hooks: ``pmv(v) -> P v`` and ``apply_minv(b) ->
+    M^-1 b`` replace the dense Hessian matvec / explicit-inverse apply.
+    When given, ``P`` / ``minv_ref`` may be None — everything else in the
+    core (termination, rho epochs, Anderson, infeasibility certificates)
+    is representation-agnostic.  ``factor_fn`` keeps its contract: build
+    whatever factor ``apply_minv`` consumes, return the (1, TL) fail row.
     """
-    dtype = P.dtype
+    dtype = q.dtype
     TL = q.shape[-1]
+    if pmv is None:
+        pmv = lambda v: jnp.sum(P * v[None, :, :], axis=1)  # (n, TL)
+    if apply_minv is None:
+        # Minv is read from its scratch ref in place — never a loop-
+        # carried value (see _factor_schur_refs return-value note)
+        apply_minv = lambda bv: jnp.sum(minv_ref[...] * bv[None, :, :], axis=1)
+    if amv is None:
+        amv = lambda v: _mm_t(A, v[None, :, :])  # A v -> (m, TL)
+    if atmv is None:
+        atmv = lambda w: jnp.sum(A * w[:, None, :], axis=0)  # A' w -> (n, TL)
     itc = jnp.zeros((1, TL), dtype)
     # reference counts the setup rho_vec_update (src/qp.cpp:34): starts at 1
     rho_upd = jnp.ones((1, TL), dtype)
@@ -867,7 +884,7 @@ def _admm_core(
         """(1, TL) f32 certificate code from the chunk's iterate deltas."""
         linf0 = lambda v: jnp.max(jnp.abs(v), axis=0, keepdims=True)
         norm_dy = linf0(dy)
-        ATdy = jnp.sum(A * dy[:, None, :], axis=0)  # (n, TL)
+        ATdy = atmv(dy)  # (n, TL)
         sup = jnp.sum(
             u_eff * jnp.maximum(dy, 0.0) + l_eff * jnp.minimum(dy, 0.0),
             axis=0,
@@ -879,8 +896,8 @@ def _admm_core(
             & (sup <= -eps_pinf * norm_dy)
         )
         norm_dx = linf0(dx)
-        Pdx = jnp.sum(P * dx[None, :, :], axis=1)  # (n, TL)
-        Adx = _mm_t(A, dx[None, :, :])  # (m, TL)
+        Pdx = pmv(dx)  # (n, TL)
+        Adx = amv(dx)  # (m, TL)
         qdx = jnp.sum(q * dx, axis=0, keepdims=True)
         tol = eps_dinf * norm_dx
         ray_ok = jnp.all(
@@ -895,9 +912,9 @@ def _admm_core(
         return jnp.where(prim, 1.0, jnp.where(dual, 2.0, 0.0))
 
     def stats(x, z, y):
-        Ax = _mm_t(A, x[None, :, :])  # (m, TL)
-        Px = jnp.sum(P * x[None, :, :], axis=1)  # (n, TL)
-        ATy = jnp.sum(A * y[:, None, :], axis=0)  # (n, TL)
+        Ax = amv(x)  # (m, TL)
+        Px = pmv(x)  # (n, TL)
+        ATy = atmv(y)  # (n, TL)
         linf = lambda v: jnp.max(jnp.abs(v), axis=0, keepdims=True)  # (1, TL)
         res_prim = linf(Ax - z)
         res_dual = linf(Px + q + ATy)
@@ -908,11 +925,9 @@ def _admm_core(
     def admm_iter(x, z, y, rho_vec):
         rho_inv = 1.0 / rho_vec
         rhs2 = rho_vec * z - y  # (m, TL)
-        b = sigma * x - q + jnp.sum(A * rhs2[:, None, :], axis=0)  # (n, TL)
-        # Minv is read from its scratch ref in place — never a loop-
-        # carried value (see _factor_schur_refs return-value note)
-        xt = jnp.sum(minv_ref[...] * b[None, :, :], axis=1)  # (n, TL)
-        zt = _mm_t(A, xt[None, :, :])  # (m, TL)
+        b = sigma * x - q + atmv(rhs2)  # (n, TL)
+        xt = apply_minv(b)  # (n, TL)
+        zt = amv(xt)  # (m, TL)
         xn = alpha * xt + (1.0 - alpha) * x
         z_pre = alpha * zt + (1.0 - alpha) * z
         zn = jnp.clip(z_pre + rho_inv * y, l, u)
@@ -1614,9 +1629,15 @@ def qp_solve_kernel(
 
     Fixed schedule with on-device early exit; schur_cholesky solve;
     rho epochs = adaptive_rho_interval.  Leaves of ``qp`` carry leading
-    batch dim B.
+    batch dim B.  ``linear_solver="schur_block_tridiag"`` routes to the
+    structured whole-solve kernel (ops/qp_kernel_btd.py — block-Thomas
+    factorization + band sweeps inside the same epoch/chunk machinery).
     """
     settings.validate()
+    if settings.linear_solver == "schur_block_tridiag":
+        from sqp_solver_tpu.ops.qp_kernel_btd import qp_solve_kernel_btd
+
+        return qp_solve_kernel_btd(qp, settings, state, interpret)
     if jax.default_backend() != "tpu":
         interpret = True  # pallas TPU kernels only compile for TPU
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u

@@ -1,0 +1,531 @@
+"""Structured (block-tridiagonal) whole-QP-solve Pallas TPU kernel.
+
+The dense whole-solve kernel (ops/qp_kernel.py) factors the Schur matrix
+M = P + sigma I + A' diag(rho) A with a panel-blocked dense Cholesky —
+O(n^3/3) per factorization and an O(n^2) explicit-inverse matvec per ADMM
+iteration.  For stage-wise problems (MPC chains, chained estimation) M is
+*block-tridiagonal*, and this kernel exploits that structure INSIDE the
+same one-kernel-per-solve architecture:
+
+    factor:  block-Thomas Cholesky  M = L L',  L block-bidiagonal
+             (S_k = D_k - F_{k-1} F_{k-1}';  L_k = chol(S_k);
+              F_k = E_k L_k^-T)                       O(T b^3)  vs  n^3/3
+    solve:   forward + backward block sweeps           O(n b)   vs  n^2
+
+with the Gram band (A' rho A)_{k,k} / (A' rho A)_{k+1,k} built from
+dynamic column reads of A — the full n x n Gram is never formed.  The
+epoch/chunk machinery (scalar-core early exit, rho epochs with
+factor-time adoption, Anderson, infeasibility certificates) is the SAME
+``_admm_core`` the dense kernel runs — this kernel plugs in via its
+``factor_fn`` / ``apply_minv`` / ``pmv`` hooks, so the structured tier
+inherits every semantic (and every test) of the dense one.
+
+This is the round-4 "structured whole-solve kernel": the XLA fused tier
+cannot skip converged chunks (lax.cond executes both branches on this
+runtime — ROADMAP fact r2-6), so its structured rows paid the full fixed
+budget; the in-kernel scalar-core early exit removes that, and the
+block-Thomas factor removes the dense n^3.  Capability target: the
+reference's sparse ambition (``/root/reference/include/solvers/qp.hpp:
+126-129``, ``tests/qp_solver_sparse_test.cpp:51-98``) on the TPU-native
+band representation.
+
+Block-size contract: the caller declares ``settings.block_size = b`` (M
+is block-tridiagonal with blocks of size b — the same contract as the
+XLA backend ``linear_solver="schur_block_tridiag"``).  Internally the
+kernel re-blocks to ``bb = b`` when b is already a multiple of the
+sublane width 8, else ``bb = roundup(2 b - 1, 8)``: any matrix that is
+block-tridiagonal at block size b has half-bandwidth <= 2 b - 1 and is
+therefore block-tridiagonal at any block size >= 2 b - 1.  8-alignment
+makes every dynamic slice sublane-aligned (measured pattern probe:
+scripts/btdprobe.py).  n is zero-padded to a multiple of bb with
+decoupled identity rows.
+
+Entries of M outside the band are IGNORED (the block-masked-dense
+contract of the XLA backend, ops/linear_solver.py:456): the caller must
+guarantee the structure, e.g. ``models.mpc.mpc_qp_stagewise_batch``.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sqp_solver_tpu.ops.qp_kernel import (
+    _VMEM_CAP,
+    _admm_core,
+    _chol_blocked,
+    _chunked_lanes,
+    _tri_inv_blocked,
+)
+from sqp_solver_tpu.qp.classify import LOOSE_BOUNDS_THRESH, RHO_TOL
+from sqp_solver_tpu.qp.types import (
+    QPInfo,
+    QPResult,
+    QPSettings,
+    QPState,
+    QPStatus,
+    QuadraticProblem,
+)
+
+__all__ = ["qp_solve_kernel_btd", "btd_internal_block"]
+
+
+def btd_internal_block(b: int) -> int:
+    """Internal (sublane-aligned) block size for a declared block size b.
+
+    b already a multiple of 8 is used as-is; otherwise the band is
+    re-blocked at the smallest multiple of 8 covering the half-bandwidth
+    2 b - 1 that block-tridiagonal-at-b implies."""
+    if b % 8 == 0:
+        return b
+    return -(-(2 * b - 1) // 8) * 8
+
+
+def _btd_lane_tile(n: int, m: int, bb: int) -> int:
+    """Problems per program.  Live set per lane (f32 words): A as ref +
+    value (2 m n), pd/pe operands + li/f scratch (4 n bb), staging /
+    sweep vectors and iterate rows (~40 (n + m)), plus double-buffered
+    operands (m n + 2 n bb)."""
+    per_lane = 4 * (3 * m * n + 6 * n * bb + 40 * (n + m))
+    tl = 128
+    while tl > 8 and per_lane * tl > _VMEM_CAP:
+        tl //= 2
+    return tl
+
+
+def _qp_btd_kernel(
+    pd_ref, pe_ref, A_ref, q_ref, l_ref, u_ref, x_ref, z_ref, y_ref,
+    xo_ref, zo_ref, yo_ref, st_ref,
+    li_ref, f_ref, stg_ref, w_ref,
+    *, n, m, bb, sigma, alpha, rho0, eps_abs, eps_rel,
+    n_epochs, chunks_per_epoch, seg, adaptive_rho, adaptive_rho_tolerance,
+    check_infeas, eps_pinf, eps_dinf, use_aa, aa_mem,
+):
+    dtype = q_ref.dtype
+    q = q_ref[:]          # (n, TL)
+    l = l_ref[:]          # (m, TL)
+    u = u_ref[:]          # (m, TL)
+    TL = q.shape[-1]
+    T = n // bb
+
+    # A is consumed through COLUMN-BLOCKED ref reads, never materialized
+    # as one value: an (m, n, TL) value alive across the epoch/chunk
+    # while_loop carries cost ~94 MB of register-allocator spill slots at
+    # n=192 m=320 TL=128 (VMEM OOM), and even per-op full-ref reads get
+    # CSE-hoisted into the same long-lived value (measured 64 MB of
+    # spills).  K-dependent (m, bb, TL) slices are transient per step.
+    def amv(v):
+        """A v (m, TL): v staged for dynamic block reads, columns of A
+        consumed block-by-block."""
+        stg_ref[...] = v
+
+        def step(k, acc):
+            o = k * bb
+            Ak = A_ref[:, pl.ds(o, bb)]        # (m, bb, TL)
+            vk = stg_ref[pl.ds(o, bb)]         # (bb, TL)
+            return acc + jnp.sum(Ak * vk[None, :, :], axis=1)
+
+        return lax.fori_loop(0, T, step, 0.0 * l)
+
+    def atmv(w):
+        """A' w (n, TL): block k of the output is A_k' w."""
+
+        def step(k, _):
+            o = k * bb
+            Ak = A_ref[:, pl.ds(o, bb)]        # (m, bb, TL)
+            w_ref[pl.ds(o, bb)] = jnp.sum(Ak * w[:, None, :], axis=0)
+            return 0
+
+        lax.fori_loop(0, T, step, 0)
+        return w_ref[...]
+
+    iota_r = lax.broadcasted_iota(jnp.int32, (bb, bb, 1), 0)
+    iota_c = lax.broadcasted_iota(jnp.int32, (bb, bb, 1), 1)
+    eye_bb = (iota_r == iota_c).astype(dtype)
+
+    def factor_fn(rho_vec):
+        """Gram band + block-Thomas Cholesky into li_ref / f_ref.
+
+        li_ref rows [k bb, (k+1) bb) hold L_k^-1; f_ref the coupling
+        F_k = E_k L_k^-T (zero for the last block: E_{T-1} rides the
+        zero tail of pe and a masked Gram)."""
+        # (bb, bb, TL) lane-varying zeros (derived from input data — a
+        # jnp.zeros init would pin a replicated Mosaic layout on the carry)
+        zero_bb = eye_bb * (0.0 * q[0:1, :])[None]
+
+        def blk(k, carry):
+            fail, FFt = carry
+            o = k * bb
+            Ak = A_ref[:, pl.ds(o, bb)]            # (m, bb, TL)
+            nmask = (k + 1 < T).astype(dtype)      # scalar 0/1
+            onext = jnp.where(k + 1 < T, o + bb, 0)
+            An = A_ref[:, pl.ds(onext, bb)]        # (m, bb, TL)
+
+            def gram_col(j, DE):
+                D, E = DE
+                wcol = rho_vec * A_ref[:, o + j]   # (m, TL): rho .* A[:, o+j]
+                dcol = jnp.sum(Ak * wcol[:, None, :], axis=0)  # (bb, TL)
+                ecol = jnp.sum(An * wcol[:, None, :], axis=0)
+                cm = (iota_c == j).astype(dtype)
+                return D + dcol[:, None, :] * cm, E + ecol[:, None, :] * cm
+
+            Gd, Ge = lax.fori_loop(0, bb, gram_col, (zero_bb, zero_bb))
+            Dk = pd_ref[pl.ds(o, bb)] + sigma * eye_bb + Gd
+            Ek = pe_ref[pl.ds(o, bb)] + nmask * Ge
+            Sk = Dk - FFt
+            Lk, fk = _chol_blocked(Sk)
+            Lik = _tri_inv_blocked(Lk)
+            li_ref[pl.ds(o, bb)] = Lik
+
+            def fcol(j, c2):
+                F, FFt2 = c2
+                # row j of Lik -> column j of F = Ek Lik'
+                lirow = jnp.sum(Lik * (iota_r == j).astype(dtype), axis=0)
+                colj = jnp.sum(Ek * lirow[None, :, :], axis=1)  # (bb, TL)
+                cm = (iota_c == j).astype(dtype)
+                return (
+                    F + colj[:, None, :] * cm,
+                    FFt2 + colj[:, None, :] * colj[None, :, :],
+                )
+
+            Fk, FFt_n = lax.fori_loop(0, bb, fcol, (zero_bb, zero_bb))
+            f_ref[pl.ds(o, bb)] = Fk
+            return jnp.maximum(fail, fk), FFt_n
+
+        fail, _ = lax.fori_loop(
+            0, T, blk, (jnp.zeros((1, TL), dtype), zero_bb)
+        )
+        return fail
+
+    def apply_minv(bv):
+        """x = M^-1 b via the two block-bidiagonal sweeps (staged through
+        stg_ref so block reads are dynamic ref slices, fact r3-2)."""
+        stg_ref[...] = bv
+
+        def fwd(k, wprev):
+            o = k * bb
+            bk = stg_ref[pl.ds(o, bb)]             # (bb, TL)
+            pmask = (k > 0).astype(dtype)
+            oprev = jnp.where(k > 0, o - bb, 0)
+            Fp = f_ref[pl.ds(oprev, bb)]           # F_{k-1}
+            t = bk - pmask * jnp.sum(Fp * wprev[None, :, :], axis=1)
+            Lik = li_ref[pl.ds(o, bb)]
+            wk = jnp.sum(Lik * t[None, :, :], axis=1)
+            w_ref[pl.ds(o, bb)] = wk
+            return wk
+
+        lax.fori_loop(0, T, fwd, jnp.zeros((bb, TL), dtype))
+
+        def bwd(i, xnext):
+            k = T - 1 - i
+            o = k * bb
+            wk = w_ref[pl.ds(o, bb)]
+            Fk = f_ref[pl.ds(o, bb)]               # F_{T-1} = 0: uniform loop
+            t = wk - jnp.sum(Fk * xnext[:, None, :], axis=0)  # F_k' x_{k+1}
+            Lik = li_ref[pl.ds(o, bb)]
+            xk = jnp.sum(Lik * t[:, None, :], axis=0)         # L_k^-T t
+            w_ref[pl.ds(o, bb)] = xk                          # in-place: w_k dead
+            return xk
+
+        lax.fori_loop(0, T, bwd, jnp.zeros((bb, TL), dtype))
+        return w_ref[...]
+
+    def pmv(v):
+        """P v from the band: (P v)_k = Pd_k v_k + Pe_{k-1} v_{k-1}
+        + Pe_k' v_{k+1} (pe rows [k bb, (k+1) bb) hold P_{k+1,k})."""
+        stg_ref[...] = v
+
+        def step(k, _):
+            o = k * bb
+            vk = stg_ref[pl.ds(o, bb)]
+            out = jnp.sum(pd_ref[pl.ds(o, bb)] * vk[None, :, :], axis=1)
+            pmask = (k > 0).astype(dtype)
+            oprev = jnp.where(k > 0, o - bb, 0)
+            vprev = stg_ref[pl.ds(oprev, bb)]
+            out = out + pmask * jnp.sum(
+                pe_ref[pl.ds(oprev, bb)] * vprev[None, :, :], axis=1
+            )
+            nmask = (k + 1 < T).astype(dtype)
+            onext = jnp.where(k + 1 < T, o + bb, 0)
+            vnext = stg_ref[pl.ds(onext, bb)]
+            out = out + nmask * jnp.sum(
+                pe_ref[pl.ds(o, bb)] * vnext[:, None, :], axis=0
+            )
+            w_ref[pl.ds(o, bb)] = out
+            return 0
+
+        lax.fori_loop(0, T, step, 0)
+        return w_ref[...]
+
+    # constraint classification (reference src/qp.cpp:284-314)
+    loose = (l < -LOOSE_BOUNDS_THRESH) & (u > LOOSE_BOUNDS_THRESH)
+    equality = (u - l) < RHO_TOL
+
+    zero_row = jnp.zeros((1, TL), dtype)
+    rho_row = rho0 + 0.0 * q[0:1, :]  # lane-varying init (Mosaic layout)
+    ec = _admm_core(
+        None, None, q, l, u, x_ref[:], z_ref[:], y_ref[:],
+        done=zero_row,
+        failv=zero_row,
+        rho=rho_row,
+        minv_ref=None,
+        pending=jnp.ones((1, TL), dtype),
+        sigma=sigma, alpha=alpha, eps_abs=eps_abs, eps_rel=eps_rel,
+        n_epochs=n_epochs, chunks_per_epoch=chunks_per_epoch, seg=seg,
+        adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance,
+        eye_n=None, loose=loose, equality=equality,
+        check_infeas=check_infeas, eps_pinf=eps_pinf, eps_dinf=eps_dinf,
+        factor_fn=factor_fn, use_aa=use_aa, aa_mem=aa_mem,
+        pmv=pmv, apply_minv=apply_minv, amv=amv, atmv=atmv,
+    )
+    x, z, y, done, failv, itc, rho, rho_upd, rho_est, rp, rd = ec[:11]
+
+    xo_ref[:] = x
+    zo_ref[:] = z
+    yo_ref[:] = y
+    st_ref[:] = jnp.concatenate(
+        [done, itc, rp, rd, failv, rho_upd, rho_est, ec[15]],
+        axis=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n", "m", "bb", "sigma", "alpha", "rho0", "eps_abs", "eps_rel",
+        "n_epochs", "chunks_per_epoch", "seg", "adaptive_rho",
+        "adaptive_rho_tolerance", "lane_tile", "interpret", "check_infeas",
+        "eps_pinf", "eps_dinf", "use_aa", "aa_mem",
+    ),
+)
+def _qp_btd_call(
+    pdt, pet, At, qt, lt, ut, xt, zt, yt, *, n, m, bb, sigma, alpha, rho0,
+    eps_abs, eps_rel, n_epochs, chunks_per_epoch, seg, adaptive_rho,
+    adaptive_rho_tolerance, lane_tile, interpret, check_infeas, eps_pinf,
+    eps_dinf, use_aa, aa_mem,
+):
+    B = qt.shape[-1]
+    grid = (B // lane_tile,)
+
+    def spec(*lead):
+        return pl.BlockSpec(
+            lead + (lane_tile,),
+            lambda i: (0,) * len(lead) + (i,),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _qp_btd_kernel, n=n, m=m, bb=bb, sigma=sigma, alpha=alpha, rho0=rho0,
+        eps_abs=eps_abs, eps_rel=eps_rel, n_epochs=n_epochs,
+        chunks_per_epoch=chunks_per_epoch, seg=seg, adaptive_rho=adaptive_rho,
+        adaptive_rho_tolerance=adaptive_rho_tolerance,
+        check_infeas=check_infeas, eps_pinf=eps_pinf, eps_dinf=eps_dinf,
+        use_aa=use_aa, aa_mem=aa_mem,
+    )
+    total_iters = n_epochs * chunks_per_epoch * seg
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[spec(n, bb), spec(n, bb), spec(m, n), spec(n), spec(m),
+                  spec(m), spec(n), spec(m), spec(m)],
+        out_specs=(spec(n), spec(m), spec(m), spec(8)),
+        out_shape=(
+            jax.ShapeDtypeStruct((n, B), qt.dtype),
+            jax.ShapeDtypeStruct((m, B), qt.dtype),
+            jax.ShapeDtypeStruct((m, B), qt.dtype),
+            jax.ShapeDtypeStruct((8, B), qt.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, bb, lane_tile), qt.dtype),  # L_k^-1 blocks
+            pltpu.VMEM((n, bb, lane_tile), qt.dtype),  # F_k blocks
+            pltpu.VMEM((n, lane_tile), qt.dtype),      # sweep staging
+            pltpu.VMEM((n, lane_tile), qt.dtype),      # sweep output
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_CAP),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (4 * n * bb + 2 * m * n) * total_iters
+            + 2 * B * n * (2 * m * bb + 3 * bb * bb) * n_epochs,
+            bytes_accessed=B * (m * n + 4 * n * bb) * 4,
+            transcendentals=B * n * n_epochs,
+        ),
+    )(pdt, pet, At, qt, lt, ut, xt, zt, yt)
+
+
+def _extract_band(P, bb):
+    """(B, n, n) dense (block-tridiag-at-bb by contract) -> transposed
+    band arrays pd, pe of shape (n, bb, B): pd rows [k bb, (k+1) bb)
+    hold the diagonal block P_{k,k}, pe the sub-diagonal P_{k+1,k}
+    (last block rows zero)."""
+    B, n, _ = P.shape
+    T = n // bb
+    Pb = P.reshape(B, T, bb, T, bb)
+    idx = jnp.arange(T)
+    pd = Pb[:, idx, :, idx, :]                      # (T, B, bb, bb)
+    pd = jnp.moveaxis(pd, 1, -1).reshape(n, bb, B)
+    if T > 1:
+        pe = Pb[:, idx[1:], :, idx[:-1], :]         # (T-1, B, bb, bb)
+        pe = jnp.moveaxis(pe, 1, -1)                # (T-1, bb, bb, B)
+        pe = jnp.concatenate(
+            [pe, jnp.zeros((1, bb, bb, B), P.dtype)], axis=0
+        ).reshape(n, bb, B)
+    else:
+        pe = jnp.zeros((n, bb, B), P.dtype)
+    return pd, pe
+
+
+def qp_solve_kernel_btd(
+    qp: QuadraticProblem,
+    settings: QPSettings = QPSettings(),
+    state: Optional[QPState] = None,
+    interpret: bool = False,
+) -> QPResult:
+    """Solve a batch of block-tridiagonal-Schur QPs with the structured
+    whole-solve kernel (one Pallas call per lane tile, block-Thomas
+    factorization, scalar-core early exit).
+
+    Same semantics as ``qp_solve_kernel`` with
+    ``linear_solver="schur_block_tridiag"`` on the XLA tiers: entries of
+    M = P + sigma I + A' rho A outside the declared band are ignored.
+    ``settings.block_size`` is the declared block size; see
+    :func:`btd_internal_block` for the sublane-aligned re-blocking.
+    """
+    settings.validate()
+    if jax.default_backend() != "tpu":
+        interpret = True
+    P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
+    dtype = P.dtype
+    B, n0 = q.shape
+    m = A.shape[-2]
+    bb = btd_internal_block(int(settings.block_size))
+
+    # pad n to a multiple of bb with decoupled identity rows (x_pad == 0
+    # for all iterates: zero q/A columns, unit P diagonal)
+    n = -(-n0 // bb) * bb
+    if n != n0:
+        padn = n - n0
+        eye_pad = jnp.broadcast_to(
+            jnp.eye(padn, dtype=dtype)[None], (B, padn, padn)
+        )
+        P = jnp.concatenate(
+            [
+                jnp.concatenate([P, jnp.zeros((B, n0, padn), dtype)], axis=2),
+                jnp.concatenate(
+                    [jnp.zeros((B, padn, n0), dtype), eye_pad], axis=2
+                ),
+            ],
+            axis=1,
+        )
+        q = jnp.concatenate([q, jnp.zeros((B, padn), dtype)], axis=1)
+        A = jnp.concatenate([A, jnp.zeros((B, m, padn), dtype)], axis=2)
+        if state is not None:
+            state = QPState(
+                x=jnp.concatenate(
+                    [state.x, jnp.zeros((B, padn), dtype)], axis=1
+                ),
+                z=state.z,
+                y=state.y,
+            )
+
+    seg = settings.check_termination if settings.check_termination > 0 else settings.max_iter
+    interval = settings.adaptive_rho_interval if settings.adaptive_rho else settings.max_iter
+    chunks_per_epoch = max(1, -(-min(interval, settings.max_iter) // seg))
+    n_epochs = max(1, -(-settings.max_iter // (chunks_per_epoch * seg)))
+
+    lane_tile = _btd_lane_tile(n, m, bb)
+    pad = (-B) % lane_tile
+    if pad:
+        qp_p = QuadraticProblem(
+            *(
+                jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)])
+                for v in (qp.P, qp.q, qp.A, qp.l, qp.u)
+            )
+        )
+        if state is not None:
+            state = jax.tree.map(
+                lambda v: jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)]),
+                state,
+            )
+        return jax.tree.map(
+            lambda v: v[:B],
+            qp_solve_kernel_btd(qp_p, settings, state, interpret),
+        )
+
+    if state is None:
+        x0 = jnp.zeros((B, n), dtype)
+        z0 = jnp.zeros((B, m), dtype)
+        y0 = jnp.zeros((B, m), dtype)
+    else:
+        x0, z0, y0 = state.x, state.z, state.y
+
+    pdt, pet = _extract_band(P, bb)
+    At = jnp.moveaxis(A, 0, -1)
+    qt, lt, ut, xt, zt, yt = (
+        jnp.moveaxis(v, 0, -1) for v in (q, l, u, x0, z0, y0)
+    )
+
+    def call_one(*a):
+        return _qp_btd_call(
+            *a,
+            n=n, m=m, bb=bb, sigma=float(settings.sigma),
+            alpha=float(settings.alpha), rho0=float(settings.rho),
+            eps_abs=float(settings.eps_abs), eps_rel=float(settings.eps_rel),
+            n_epochs=n_epochs, chunks_per_epoch=chunks_per_epoch, seg=seg,
+            adaptive_rho=bool(settings.adaptive_rho),
+            adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
+            lane_tile=lane_tile, interpret=interpret,
+            check_infeas=bool(settings.check_infeasibility),
+            eps_pinf=float(settings.eps_pinf),
+            eps_dinf=float(settings.eps_dinf),
+            use_aa=settings.acceleration == "anderson",
+            aa_mem=int(settings.anderson_memory),
+        )
+
+    args = (pdt, pet, At, qt, lt, ut, xt, zt, yt)
+    if lane_tile < 128 and not interpret:
+        x, z, y, st = _chunked_lanes(call_one, args, B, lane_tile)
+    else:
+        x, z, y, st = call_one(*args)
+    x, z, y, st = (jnp.moveaxis(v, -1, 0) for v in (x, z, y, st))
+    x = x[:, :n0]
+    done = st[:, 0] > 0.5
+    failed = st[:, 4] > 0.5
+    infeas = st[:, 7]
+    status = jnp.where(
+        failed,
+        QPStatus.NUMERICAL_ISSUES,
+        jnp.where(
+            done,
+            QPStatus.SOLVED,
+            jnp.where(
+                infeas > 1.5,
+                QPStatus.DUAL_INFEASIBLE,
+                jnp.where(
+                    infeas > 0.5,
+                    QPStatus.PRIMAL_INFEASIBLE,
+                    QPStatus.MAX_ITER_EXCEEDED,
+                ),
+            ),
+        ),
+    ).astype(jnp.int32)
+    info = QPInfo(
+        status=status,
+        iter=jnp.minimum(st[:, 1].astype(jnp.int32), settings.max_iter),
+        rho_updates=st[:, 5].astype(jnp.int32),
+        rho_estimate=st[:, 6],
+        res_prim=st[:, 2],
+        res_dual=st[:, 3],
+    )
+    result = QPResult(x=x, y=y, z=z, info=info)
+    if settings.polish:
+        from sqp_solver_tpu.qp.polish import polish_qp
+
+        result = polish_qp(qp, result, settings)
+    return result
