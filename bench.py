@@ -463,6 +463,12 @@ def main():
         ("blocktri, fused fixed-schedule", QPSettings(
             adaptive_rho=True, max_iter=100, schedule="fixed",
             linear_solver="schur_block_tridiag", block_size=blk), "fused"),
+        # round-4 structured whole-solve kernel (ops/qp_kernel_btd.py):
+        # block-Thomas factor + band sweeps + scalar-core early exit in
+        # ONE Pallas call — no dense n^3, no full fixed budget
+        ("blocktri, whole-solve kernel", QPSettings(
+            adaptive_rho=True, max_iter=100, schedule="fixed",
+            linear_solver="schur_block_tridiag", block_size=blk), "kernel"),
     )
     for label, s_cfg, impl in mpc_rows:
         sol_fn = jax.jit(
@@ -552,6 +558,53 @@ def main():
             f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
             + ("  [fixed schedule: full budget, zero host syncs, see above]"
                if impl == "fused" else "")
+        )
+
+    # ---- supplementary: arbitrary unstructured sparsity (BlockSparse + CG) --
+    # The capability the reference reserves for Eigen::SimplicialLDLT
+    # (include/solvers/qp.hpp:126-129): a RANDOM block pattern no banded/
+    # bordered backend can express.  TPU-native representation: dense
+    # MXU-granular tiles + matrix-free Jacobi-CG (ops/block_sparse.py) —
+    # no Gram, no factorization, no fill-in.  Dense twin solved with the
+    # same CG (operator cost isolation) and with the blocked-MXU Cholesky
+    # (the best dense backend at this n).
+    from sqp_solver_tpu.models.sparse import sparse_qp_pair
+    from sqp_solver_tpu.qp import qp_solve as qp_solve_one
+
+    Nsp = 4096
+    d0, s0 = sparse_qp_pair(
+        n=Nsp, m=Nsp, bs=128, density=0.03, seed=salt % 97, dtype=jnp.float32
+    )
+    cg_cfg = QPSettings(
+        linear_solver="cg", eps_abs=1e-4, eps_rel=1e-4, max_iter=2000,
+        check_termination=25, adaptive_rho=True,
+    )
+    chol_cfg = _dc.replace(cg_cfg, linear_solver="schur_cholesky_blocked")
+    sp_rows = (
+        ("sparse-cg", lambda p: qp_solve_one(p, cg_cfg), True),
+        ("dense-cg", lambda p: qp_solve_one(p, cg_cfg), False),
+        ("dense-chol-blocked", lambda p: qp_solve_one(p, chol_cfg), False),
+    )
+    for label, fn, use_sparse in sp_rows:
+        sol_fn = jax.jit(fn)
+        prob0 = s0 if use_sparse else d0
+        _ = np.asarray(sol_fn(prob0).info.status)
+        ts = []
+        for rep in (1, 2):
+            d2, s2 = sparse_qp_pair(
+                n=Nsp, m=Nsp, bs=128, density=0.03,
+                seed=salt % 97 + rep, dtype=jnp.float32,
+            )
+            p2 = s2 if use_sparse else d2
+            jax.block_until_ready(jax.tree.leaves(p2))
+            t0 = time.perf_counter()
+            r2 = sol_fn(p2)
+            st2 = int(np.asarray(r2.info.status))
+            ts.append(time.perf_counter() - t0)
+        log(
+            f"unstructured sparse QP ({label}): n={Nsp} "
+            f"(P {s0.P.nblocks}/{(Nsp//128)**2} blocks) time={min(ts)*1e3:.0f}ms "
+            f"status={st2} iters={int(np.asarray(r2.info.iter))}"
         )
 
     # ---- supplementary: batched QP throughput -------------------------------

@@ -4,7 +4,10 @@ transposes) vs the Pallas kernel call, via in-program repetition slopes
 (standalone timings are useless through the relay — ROADMAP fact r3-1).
 """
 
+import sys
 import time
+
+sys.path.insert(0, "/root/repo")
 
 import jax
 import jax.numpy as jnp

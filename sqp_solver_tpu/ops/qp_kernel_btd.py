@@ -114,35 +114,39 @@ def _qp_btd_kernel(
     TL = q.shape[-1]
     T = n // bb
 
-    # A is consumed through COLUMN-BLOCKED ref reads, never materialized
+    # A is consumed through COLUMN-CHUNKED ref reads, never materialized
     # as one value: an (m, n, TL) value alive across the epoch/chunk
     # while_loop carries cost ~94 MB of register-allocator spill slots at
     # n=192 m=320 TL=128 (VMEM OOM), and even per-op full-ref reads get
     # CSE-hoisted into the same long-lived value (measured 64 MB of
-    # spills).  K-dependent (m, bb, TL) slices are transient per step.
+    # spills).  K-dependent slices are transient per step; the chunk is
+    # as WIDE as divisibility allows (n=192, bb=8 -> cbm=96, 2 steps/
+    # matvec instead of 24 — per-step loop overhead, not FLOPs, dominates
+    # these lane-layout ops) and python-unrolled so the slice starts are
+    # static.
+    cbm = bb
+    for d in range(2, n // bb + 1):
+        if n % (d * bb) == 0 and d * bb <= 128:
+            cbm = d * bb
+    nmv = n // cbm
+
     def amv(v):
-        """A v (m, TL): v staged for dynamic block reads, columns of A
-        consumed block-by-block."""
+        """A v (m, TL): column-chunked FMA passes over A."""
         stg_ref[...] = v
-
-        def step(k, acc):
-            o = k * bb
-            Ak = A_ref[:, pl.ds(o, bb)]        # (m, bb, TL)
-            vk = stg_ref[pl.ds(o, bb)]         # (bb, TL)
-            return acc + jnp.sum(Ak * vk[None, :, :], axis=1)
-
-        return lax.fori_loop(0, T, step, 0.0 * l)
+        acc = 0.0 * l
+        for k in range(nmv):
+            o = k * cbm
+            Ak = A_ref[:, pl.ds(o, cbm)]       # (m, cbm, TL)
+            vk = stg_ref[pl.ds(o, cbm)]        # (cbm, TL)
+            acc = acc + jnp.sum(Ak * vk[None, :, :], axis=1)
+        return acc
 
     def atmv(w):
-        """A' w (n, TL): block k of the output is A_k' w."""
-
-        def step(k, _):
-            o = k * bb
-            Ak = A_ref[:, pl.ds(o, bb)]        # (m, bb, TL)
-            w_ref[pl.ds(o, bb)] = jnp.sum(Ak * w[:, None, :], axis=0)
-            return 0
-
-        lax.fori_loop(0, T, step, 0)
+        """A' w (n, TL): output chunk k is A_k' w."""
+        for k in range(nmv):
+            o = k * cbm
+            Ak = A_ref[:, pl.ds(o, cbm)]       # (m, cbm, TL)
+            w_ref[pl.ds(o, cbm)] = jnp.sum(Ak * w[:, None, :], axis=0)
         return w_ref[...]
 
     iota_r = lax.broadcasted_iota(jnp.int32, (bb, bb, 1), 0)

@@ -31,7 +31,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from sqp_solver_tpu.ops.linear_solver import get_linear_solver
+from sqp_solver_tpu.ops.linear_solver import (
+    get_linear_solver,
+    _mv as _opmv,
+    _rmv as _oprmv,
+)
 from sqp_solver_tpu.qp.classify import (
     RHO_MAX,
     RHO_MIN,
@@ -94,12 +98,32 @@ def qp_solve(
     reference's ``warm_start``; see QPState docs).
     """
     settings.validate()
+    # BlockSparse P/A (ops/block_sparse.py): the arbitrary-unstructured-
+    # sparsity path — the whole loop below is matvec-polymorphic, and the
+    # 'cg' backend is matrix-free, so sparse problems reuse it verbatim.
+    sparse = hasattr(qp.P, "mv") or hasattr(qp.A, "mv")
+    if sparse:
+        if settings.linear_solver != "cg":
+            raise ValueError(
+                "BlockSparse problems require linear_solver='cg' (the "
+                "matrix-free backend); factorizing backends need dense "
+                f"operands, got {settings.linear_solver!r}"
+            )
+        for gate, name in (
+            (settings.scaling > 0, "scaling"),
+            (settings.polish, "polish"),
+        ):
+            if gate:
+                raise ValueError(
+                    f"BlockSparse problems do not support settings.{name} "
+                    "yet (dense-operand epilogue)"
+                )
     if settings.scaling > 0:
         from sqp_solver_tpu.qp.scaling import solve_with_scaling
 
         return solve_with_scaling(qp_solve, qp, settings, state)
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
-    dtype = P.dtype
+    dtype = q.dtype
     n, m = qp.n, qp.m
 
     solver = get_linear_solver(
@@ -147,9 +171,9 @@ def qp_solve(
 
     def update_state(x, z, y):
         """Residuals + norm caches (reference src/qp.cpp:317-331)."""
-        Ax = hdot(A, x)
-        Px = hdot(P, x)
-        ATy = hdot(A.T, y)
+        Ax = _opmv(A, x)
+        Px = _opmv(P, x)
+        ATy = _oprmv(A, y)
         max_Ax_z = jnp.maximum(_linf(Ax), _linf(z))
         max_Px_ATy_q = jnp.maximum(_linf(Px), jnp.maximum(_linf(ATy), _linf(q)))
         res_prim = _linf(Ax - z)
@@ -253,7 +277,7 @@ def qp_solve(
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )
             if settings.verbose:
-                obj = 0.5 * hdot(x, hdot(P, x)) + hdot(q, x)
+                obj = 0.5 * hdot(x, _opmv(P, x)) + hdot(q, x)
                 jax.debug.print(
                     "{it:4d}  {obj:.2e}  {rp:.2e}  {rd:.2e}",
                     it=it,

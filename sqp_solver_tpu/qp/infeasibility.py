@@ -39,10 +39,15 @@ def infeasibility_certificates(P, A, q, l, u, dx, dy, eps_pinf, eps_dinf):
     """
     hp = lax.Precision.HIGHEST
     linf = lambda v: jnp.max(jnp.abs(v), axis=-1)
+    sparse = hasattr(P, "mv") or hasattr(A, "mv")  # BlockSparse operands
 
     # --- primal: the dual delta certifies l <= Ax <= u empty --------------
     norm_dy = linf(dy)
-    ATdy = jnp.einsum("...mn,...m->...n", A, dy, precision=hp)
+    ATdy = (
+        A.rmv(dy)
+        if sparse
+        else jnp.einsum("...mn,...m->...n", A, dy, precision=hp)
+    )
     dy_pos = jnp.maximum(dy, 0.0)
     dy_neg = jnp.minimum(dy, 0.0)
     u_eff = jnp.where(u > LOOSE_BOUNDS_THRESH, _BIG, u)
@@ -56,8 +61,11 @@ def infeasibility_certificates(P, A, q, l, u, dx, dy, eps_pinf, eps_dinf):
 
     # --- dual: the primal delta certifies an unbounded descent ray --------
     norm_dx = linf(dx)
-    Pdx = jnp.einsum("...ij,...j->...i", P, dx, precision=hp)
-    Adx = jnp.einsum("...mn,...n->...m", A, dx, precision=hp)
+    if sparse:
+        Pdx, Adx = P.mv(dx), A.mv(dx)
+    else:
+        Pdx = jnp.einsum("...ij,...j->...i", P, dx, precision=hp)
+        Adx = jnp.einsum("...mn,...n->...m", A, dx, precision=hp)
     qdx = jnp.sum(q * dx, axis=-1)
     tol = eps_dinf * norm_dx[..., None]
     ray_ok = jnp.all(

@@ -40,7 +40,11 @@ class TestInternalBlock:
 class TestStructuredWholeSolveKernel:
     def test_matches_structured_fused_tier(self):
         qp, blk = mpc_qp_stagewise_batch(8, horizon=8, dtype=jnp.float32)
-        s = _settings(linear_solver="schur_block_tridiag", block_size=blk)
+        # max_iter=400: at 200 one lane sits exactly on the budget and the
+        # kernel's chunked-matvec f32 accumulation order can flip it
+        s = _settings(
+            linear_solver="schur_block_tridiag", block_size=blk, max_iter=400
+        )
         ref = qp_solve_fused(qp, s)
         out = qp_solve_kernel_btd(qp, s, interpret=True)
         np.testing.assert_array_equal(
