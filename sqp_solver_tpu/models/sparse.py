@@ -26,6 +26,7 @@ def sparse_qp_pair(
     density: float = 0.05,
     seed: int = 0,
     dtype=jnp.float32,
+    pattern_seed: int | None = None,
 ):
     """Random block-sparse strictly convex QP; returns ``(dense, sparse)``
     twins of the SAME problem (``sparse`` carries BlockSparse P and A).
@@ -34,7 +35,14 @@ def sparse_qp_pair(
     always present), made strictly PD by diagonal dominance.  A: random
     block pattern at ``density`` (at least one block per block-row).
     Bounds are finite and feasible by construction.
+
+    The block PATTERN comes from ``pattern_seed`` (default: ``seed``) and
+    the VALUES from ``seed``: benchmark reps must keep the pattern fixed
+    (it is static pytree aux data — a new pattern is a new compile) while
+    salting the data, so pass the same ``pattern_seed`` with fresh
+    ``seed`` values.
     """
+    prng = np.random.default_rng(seed if pattern_seed is None else pattern_seed)
     rng = np.random.default_rng(seed)
     Rb, Cb = n // bs, n // bs
     Mb = m // bs
@@ -44,7 +52,7 @@ def sparse_qp_pair(
     for i in range(Rb):
         for j in range(i + 1):
             on_diag = i == j
-            if not on_diag and rng.uniform() > density:
+            if not on_diag and prng.uniform() > density:
                 continue
             blk = rng.normal(size=(bs, bs)) / np.sqrt(n)
             P[i * bs : (i + 1) * bs, j * bs : (j + 1) * bs] = blk
@@ -55,9 +63,9 @@ def sparse_qp_pair(
     # --- A: random block pattern, >= 1 block per block-row -------------
     A = np.zeros((m, n), np.float64)
     for i in range(Mb):
-        cols = np.nonzero(rng.uniform(size=Cb) < density)[0]
+        cols = np.nonzero(prng.uniform(size=Cb) < density)[0]
         if len(cols) == 0:
-            cols = [int(rng.integers(Cb))]
+            cols = [int(prng.integers(Cb))]
         for j in cols:
             A[i * bs : (i + 1) * bs, j * bs : (j + 1) * bs] = rng.normal(
                 size=(bs, bs)

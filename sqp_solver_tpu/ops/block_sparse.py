@@ -133,13 +133,25 @@ class BlockSparse:
         return out.reshape(-1)
 
 
-def from_dense(M, bs: int = 128, tol: float = 0.0) -> BlockSparse:
+def from_dense(M, bs: int = 128, tol: float = 0.0, pad: bool = False) -> BlockSparse:
     """Detect the block pattern of a CONCRETE (host) matrix and build the
     BlockSparse.  Pattern detection is a host-side constructor — inside
-    jit the pattern must already be fixed (pass BlockSparse through)."""
+    jit the pattern must already be fixed (pass BlockSparse through).
+
+    Dims must be multiples of ``bs``: the solver path sizes ``q``/``l``/
+    ``u`` off the operator's shape, so a silently padded operator would
+    desync ``qp.n``/``qp.m`` from the vectors.  Pass ``pad=True`` to
+    zero-pad anyway — then the CALLER must pad the QP vectors to the
+    returned ``.shape`` too."""
     M = np.asarray(M)
     nr, nc = M.shape
     if nr % bs or nc % bs:
+        if not pad:
+            raise ValueError(
+                f"from_dense: shape {M.shape} is not a multiple of bs={bs}; "
+                "pad the matrix (and the QP's q/l/u) yourself or pass "
+                "pad=True and pad the vectors to the returned .shape"
+            )
         pr, pc = (-nr) % bs, (-nc) % bs
         M = np.pad(M, ((0, pr), (0, pc)))
         nr, nc = M.shape

@@ -410,9 +410,33 @@ def qp_solve_kernel_btd(
     m = A.shape[-2]
     bb = btd_internal_block(int(settings.block_size))
 
+    n = -(-n0 // bb) * bb
+
+    # pad the BATCH to a lane-tile multiple first, while qp/state still
+    # carry the caller's widths: the recursive call below re-derives the
+    # n-padding itself, so padding n before recursing would double-pad a
+    # warm-started state.x (width n + padn, mismatching the BlockSpec)
+    lane_tile = _btd_lane_tile(n, m, bb)
+    pad = (-B) % lane_tile
+    if pad:
+        qp_p = QuadraticProblem(
+            *(
+                jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)])
+                for v in (qp.P, qp.q, qp.A, qp.l, qp.u)
+            )
+        )
+        if state is not None:
+            state = jax.tree.map(
+                lambda v: jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)]),
+                state,
+            )
+        return jax.tree.map(
+            lambda v: v[:B],
+            qp_solve_kernel_btd(qp_p, settings, state, interpret),
+        )
+
     # pad n to a multiple of bb with decoupled identity rows (x_pad == 0
     # for all iterates: zero q/A columns, unit P diagonal)
-    n = -(-n0 // bb) * bb
     if n != n0:
         padn = n - n0
         eye_pad = jnp.broadcast_to(
@@ -442,25 +466,6 @@ def qp_solve_kernel_btd(
     interval = settings.adaptive_rho_interval if settings.adaptive_rho else settings.max_iter
     chunks_per_epoch = max(1, -(-min(interval, settings.max_iter) // seg))
     n_epochs = max(1, -(-settings.max_iter // (chunks_per_epoch * seg)))
-
-    lane_tile = _btd_lane_tile(n, m, bb)
-    pad = (-B) % lane_tile
-    if pad:
-        qp_p = QuadraticProblem(
-            *(
-                jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)])
-                for v in (qp.P, qp.q, qp.A, qp.l, qp.u)
-            )
-        )
-        if state is not None:
-            state = jax.tree.map(
-                lambda v: jnp.concatenate([v, jnp.repeat(v[:1], pad, axis=0)]),
-                state,
-            )
-        return jax.tree.map(
-            lambda v: v[:B],
-            qp_solve_kernel_btd(qp_p, settings, state, interpret),
-        )
 
     if state is None:
         x0 = jnp.zeros((B, n), dtype)

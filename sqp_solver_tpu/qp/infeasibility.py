@@ -39,13 +39,16 @@ def infeasibility_certificates(P, A, q, l, u, dx, dy, eps_pinf, eps_dinf):
     """
     hp = lax.Precision.HIGHEST
     linf = lambda v: jnp.max(jnp.abs(v), axis=-1)
-    sparse = hasattr(P, "mv") or hasattr(A, "mv")  # BlockSparse operands
+    # dispatch per operand: P and A may independently be BlockSparse or
+    # dense (mixed problems are legal on the CG path)
+    P_sparse = hasattr(P, "mv")
+    A_sparse = hasattr(A, "mv")
 
     # --- primal: the dual delta certifies l <= Ax <= u empty --------------
     norm_dy = linf(dy)
     ATdy = (
         A.rmv(dy)
-        if sparse
+        if A_sparse
         else jnp.einsum("...mn,...m->...n", A, dy, precision=hp)
     )
     dy_pos = jnp.maximum(dy, 0.0)
@@ -61,11 +64,16 @@ def infeasibility_certificates(P, A, q, l, u, dx, dy, eps_pinf, eps_dinf):
 
     # --- dual: the primal delta certifies an unbounded descent ray --------
     norm_dx = linf(dx)
-    if sparse:
-        Pdx, Adx = P.mv(dx), A.mv(dx)
-    else:
-        Pdx = jnp.einsum("...ij,...j->...i", P, dx, precision=hp)
-        Adx = jnp.einsum("...mn,...n->...m", A, dx, precision=hp)
+    Pdx = (
+        P.mv(dx)
+        if P_sparse
+        else jnp.einsum("...ij,...j->...i", P, dx, precision=hp)
+    )
+    Adx = (
+        A.mv(dx)
+        if A_sparse
+        else jnp.einsum("...mn,...n->...m", A, dx, precision=hp)
+    )
     qdx = jnp.sum(q * dx, axis=-1)
     tol = eps_dinf * norm_dx[..., None]
     ray_ok = jnp.all(

@@ -119,6 +119,24 @@ class TestStructuredWholeSolveKernel:
             <= np.asarray(first.info.iter).max()
         )
 
+    def test_warm_start_with_n_padding(self):
+        # regression (round-5 advice): warm start + non-bb-aligned n
+        # (block_size=5 -> bb=16, n=24 padded to 32) + B below the lane
+        # tile used to double-pad state.x — the lane-pad branch recursed
+        # with the UNPADDED qp but an already-n-padded state, so the
+        # recursive call padded x again and tripped the BlockSpec
+        qp, _ = mpc_qp_stagewise_batch(4, horizon=8, dtype=jnp.float32)
+        s = _settings(
+            linear_solver="schur_block_tridiag", block_size=5, max_iter=400
+        )
+        first = qp_solve_kernel_btd(qp, s, interpret=True)
+        again = qp_solve_kernel_btd(qp, s, state=first.state, interpret=True)
+        assert again.x.shape == first.x.shape
+        assert (
+            np.asarray(again.info.iter).max()
+            <= np.asarray(first.info.iter).max()
+        )
+
     def test_indefinite_P_reports_numerical_issues(self):
         qp, blk = mpc_qp_stagewise_batch(4, horizon=4, dtype=jnp.float32)
         n = qp.P.shape[-1]
