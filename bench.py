@@ -23,15 +23,52 @@ the relay had not flushed (a silent artifact that would corrupt the
 min-over-reps).  Accuracy fetches happen OUTSIDE the timed region.
 """
 
+import contextlib
 import json
 import sys
 import time
+import traceback
 
 import numpy as np
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+# Compact end-of-run recap (round-4 postmortem): the driver records only
+# the LAST ~2000 chars of combined output, and round 4's early-emitted
+# headline JSON scrolled out of that window — losing the round's entire
+# north-star record.  Every leg now appends a terse entry here; main()
+# prints the recap AND re-emits the headline JSON as the final stdout
+# line, so the tail window always contains the proof.
+RECAP = []
+
+
+def recap(entry: str):
+    RECAP.append(entry)
+
+
+@contextlib.contextmanager
+def leg(name: str):
+    """Fault isolation per supplementary leg: one failing leg must not
+    take down the rest of the run or the final recap/JSON emission."""
+    try:
+        yield
+    except Exception:
+        log(f"LEG FAILED ({name}):")
+        traceback.print_exc(file=sys.stderr)
+        RECAP.append(f"{name}:FAIL")
+
+
+def emit_recap(headline_payload):
+    txt = " | ".join(RECAP)
+    if len(txt) > 1500:  # keep recap + JSON inside the 2000-char tail
+        txt = txt[:1490] + "..."
+    log("==RECAP== " + txt)
+    # the headline JSON again, as the LAST stdout line (also emitted right
+    # after the headline leg as a timeout hedge — both lines are identical)
+    print(json.dumps(headline_payload), flush=True)
 
 
 def make_problem_generator(B, N, dtype):
@@ -232,7 +269,7 @@ def main():
             np.abs(np.asarray(res_acc.x, np.float64) - solution(prob_acc)), 99
         )
     )
-    sphere_cert_1e4(prob_acc, res_acc, log, f"headline n={N} B={B}")
+    cert_h = sphere_cert_1e4(prob_acc, res_acc, log, f"headline n={N} B={B}")
     iters = np.asarray(res.info.iter)
     qp_iters = np.asarray(res.info.qp_solver_iter)
     sqp_per_sec = B / t_solve
@@ -243,17 +280,19 @@ def main():
     )
     # Emit the ONE stdout JSON line NOW, before the supplementary legs:
     # on a cold compile cache the full run takes ~20+ min, and a driver
-    # timeout mid-way must not lose the headline (stderr keeps flowing)
-    print(
-        json.dumps(
-            {
-                "metric": "batched_sqp_solves_per_sec_n32_b4096",
-                "value": round(sqp_per_sec, 1),
-                "unit": "solves/s",
-                "vs_baseline": round(sqp_per_sec / 1e4, 4),
-            }
-        ),
-        flush=True,
+    # timeout mid-way must not lose the headline (stderr keeps flowing).
+    # The SAME line is re-emitted at the very end (emit_recap) so the
+    # driver's tail window also contains it on a full run.
+    headline_payload = {
+        "metric": "batched_sqp_solves_per_sec_n32_b4096",
+        "value": round(sqp_per_sec, 1),
+        "unit": "solves/s",
+        "vs_baseline": round(sqp_per_sec / 1e4, 4),
+    }
+    print(json.dumps(headline_payload), flush=True)
+    recap(
+        f"headline n32 B4096 {sqp_per_sec:.0f}/s solved={solved_frac:.2f} "
+        f"err={err:.0e} cert={cert_h:.2f}"
     )
 
     # roofline accounting: useful FLOPs vs the chip's VPU ceiling (the
@@ -271,591 +310,716 @@ def main():
         f"not reachable for this shape)"
     )
 
-    # ---- supplementary: n=32 scale-out (dispatch-floor amortization) -------
-    # the ~15-25 ms per-dispatch relay floor is ~half the B=4096 time;
-    # 4x the batch shows the per-solve cost the architecture actually has
-    B_big = 16384
-    build_big = make_problem_generator(B_big, N, jnp.float32)
+    with leg("scaleout"):
+        # ---- supplementary: n=32 scale-out (dispatch-floor amortization) -------
+        # the ~15-25 ms per-dispatch relay floor is ~half the B=4096 time;
+        # 4x the batch shows the per-solve cost the architecture actually has
+        B_big = 16384
+        build_big = make_problem_generator(B_big, N, jnp.float32)
 
-    def run_big(key):
-        problem, x0 = build_big(key)
-        return sqp_solve_batch(problem, x0, None, settings, impl="fused")
+        def run_big(key):
+            problem, x0 = build_big(key)
+            return sqp_solve_batch(problem, x0, None, settings, impl="fused")
 
-    solve_big = jax.jit(run_big)
-    jax.block_until_ready(solve_big(jax.random.PRNGKey(0)).x)
-    tb = []
-    for rep in (1, 2, 3):
-        key = jax.random.PRNGKey(salt + 128 + rep)
-        jax.block_until_ready(key)
-        t0 = time.perf_counter()
-        rb = solve_big(key)
-        _ = np.asarray(rb.info.status)
-        tb.append(time.perf_counter() - t0)
-    log(
-        f"sqp batch scale-out: B={B_big} n={N} time={min(tb)*1e3:.1f}ms -> "
-        f"{B_big/min(tb):.0f} solves/s; "
-        f"solved={float(np.mean(np.asarray(rb.info.status)==0)):.3f}"
-    )
-
-    # ---- n=128 SQP config (north-star "n <= 128, >= 1e4 solves/s") ---------
-    # Two-phase configuration (budget sweep, scripts/n128bench.py round 3):
-    # 2 damped SQP outer iterations for globalization + 3 Newton-KKT
-    # polish passes (true-Hessian active-set refinement with per-problem
-    # accept guards and true-residual status certification) — solved is
-    # judged by re-linearized KKT error, accuracy by the closed form.
-    N2 = 128
-    settings128 = SQPSettings(
-        max_iter=2,
-        eps_prim=2e-3,
-        eps_dual=2e-3,
-        termination="kkt",
-        schedule="fixed",
-        qp_impl="kernel",
-        polish=True,
-        polish_passes=3,
-        # 4 refinement sweeps per pass (default 6): each sweep contracts
-        # the KKT error by ~polish_delta; at n=128 the f32 floor is
-        # reached by sweep 4 (round-4 sweep: err_p99 1.4e-7 at sw4 vs
-        # 1.2e-7 at sw6, ~9 ms cheaper; 2 passes instead of 3 degrades
-        # to 5.6e-5 — keep 3)
-        polish_sweeps=4,
-        line_search_max_iter=5,
-        qp=settings.qp,
-    )
-
-    for B2 in (1024, 4096):
-        build128 = make_problem_generator(B2, N2, jnp.float32)
-
-        def run128(key, build128=build128):
-            problem, x0 = build128(key)
-            return sqp_solve_batch(problem, x0, None, settings128, impl="fused")
-
-        solve128 = jax.jit(run128)
-        _ = np.asarray(solve128(jax.random.PRNGKey(0)).x)
-        t128s = []
-        for rep in (1, 2, 3, 4, 5):
-            key = jax.random.PRNGKey(salt + 64 + rep)
-            jax.block_until_ready(key)
-            t0 = time.perf_counter()
-            r128 = solve128(key)
-            _ = np.asarray(r128.info.status)
-            t128s.append(time.perf_counter() - t0)
-        t128 = min(t128s)
-        prob128, _ = jax.jit(build128)(jax.random.PRNGKey(9))
-        r128a = solve128(jax.random.PRNGKey(9))
-        err128 = float(
-            np.percentile(
-                np.abs(np.asarray(r128a.x, np.float64) - solution(prob128)), 99
-            )
-        )
-        log(
-            f"sqp batch n=128: B={B2} time={t128*1e3:.0f}ms -> "
-            f"{B2/t128:.0f} solves/s; "
-            f"solved={float(np.mean(np.asarray(r128.info.status)==0)):.3f} "
-            f"err_p99={err128:.2e}"
-            + ("  [north star: >= 1e4 at n=128]" if B2 == 1024 else "")
-        )
-        if B2 == 1024:
-            sphere_cert_1e4(prob128, r128a, log, f"n={N2} B={B2}")
-            # dispatch-floor decomposition (VERDICT r3 item 5): time a
-            # program that chains K independent full solves (fresh
-            # on-device problems each); the K-slope is the true compute
-            # cost per batch, the intercept is the per-dispatch relay
-            # floor no solver change can shave
-            def runK(key, K, build128=build128):
-                acc = jnp.zeros((), jnp.int32)
-                for i in range(K):
-                    pk, xk = build128(jax.random.fold_in(key, i))
-                    rk = sqp_solve_batch(pk, xk, None, settings128, impl="fused")
-                    acc = acc + jnp.sum(rk.info.status)
-                return acc
-
-            tK = {}
-            for K in (1, 3):
-                fK = jax.jit(lambda key, K=K: runK(key, K))
-                _ = np.asarray(fK(jax.random.PRNGKey(0)))
-                best = 1e9
-                for rep in (1, 2):
-                    key = jax.random.PRNGKey(salt + 300 + 7 * K + rep)
-                    jax.block_until_ready(key)
-                    t0 = time.perf_counter()
-                    _ = np.asarray(fK(key))
-                    best = min(best, time.perf_counter() - t0)
-                tK[K] = best
-            slope = (tK[3] - tK[1]) / 2
-            floor = max(tK[1] - slope, 0.0)
-            log(
-                f"  n=128 B=1024 decomposition: compute slope "
-                f"{slope*1e3:.1f}ms/solve-batch (in-program ceiling "
-                f"{B2/slope:.0f} solves/s), relay dispatch floor "
-                f"{floor*1e3:.1f}ms/dispatch ({floor/tK[1]*100:.0f}% of "
-                f"wall — amortize with B, demonstrated at B=4096)"
-            )
-
-    # ---- supplementary: large-n single NLP (BASELINE configs[4], n~4096) ----
-    # blocked MXU Cholesky backend (SURVEY C6 north-star kernel): round-1
-    # baseline was 1.8 s/solve via schur_cholesky_tri
-    import dataclasses as _dc
-
-    from sqp_solver_tpu.models.benchmark import (
-        sphere_cap_nlp_batch,
-        sphere_cap_solution,
-    )
-    from sqp_solver_tpu.sqp import sqp_solve
-
-    NL = 4096
-    prob_l_b, x0_l_b = sphere_cap_nlp_batch(1, NL, seed=0, dtype=jnp.float32)
-    prob_l = _dc.replace(
-        prob_l_b, l=prob_l_b.l[0], u=prob_l_b.u[0], params=prob_l_b.params[0],
-        constraint_linearized_t=None, lagrangian_hessian_t=None,
-    )
-    x0_l = x0_l_b[0]
-    settings_l = SQPSettings(
-        max_iter=10, eps_prim=1e-3, eps_dual=1e-3, termination="kkt",
-        schedule="fixed", line_search_max_iter=8, polish=True,
-        qp=QPSettings(alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=50,
-                      check_termination=10, adaptive_rho=True,
-                      adaptive_rho_interval=50, schedule="fixed",
-                      linear_solver="schur_cholesky_blocked", refine_steps=1),
-    )
-    solve_l = jax.jit(lambda p, x: sqp_solve(p, x, None, settings_l))
-    _ = np.asarray(solve_l(prob_l, x0_l).x)
-    tl = []
-    for rep in (1, 2):
-        prob_r_b, x0_r_b = sphere_cap_nlp_batch(
-            1, NL, seed=salt % 9973 + rep, dtype=jnp.float32
-        )
-        # swap only the ARRAY leaves into prob_l's structure: fresh
-        # callable objects would retrace/recompile the jit per rep
-        prob_r = _dc.replace(
-            prob_l, l=prob_r_b.l[0], u=prob_r_b.u[0], params=prob_r_b.params[0],
-        )
-        x0_r = x0_r_b[0]
-        jax.block_until_ready(x0_r)
-        t0 = time.perf_counter()
-        rl = solve_l(prob_r, x0_r)
-        _ = np.asarray(rl.info.status)
-        tl.append(time.perf_counter() - t0)
-    err_l = float(
-        np.max(np.abs(np.asarray(rl.x, np.float64) - sphere_cap_solution(prob_r_b)[0]))
-    )
-    log(
-        f"large-n NLP: n={NL} time={min(tl)*1e3:.0f}ms status={int(rl.info.status)} "
-        f"err={err_l:.2e} (round-1: 1800ms via schur_cholesky_tri; blocked "
-        f"MXU Cholesky + refinement)"
-    )
-
-    # ---- supplementary: structured (block-tridiagonal) MPC vs dense ---------
-    from sqp_solver_tpu.models.mpc import mpc_qp_stagewise_batch
-
-    # three configurations: the blocktri backend's O(T b^3) factorization
-    # vs dense O((Tb)^3) on the vmap tier (fastest on this shape), plus
-    # the fixed-schedule fused path (zero dynamic loop conditions — the
-    # right tier when relay/host-sync costs dominate)
-    Bs, Ts = 256, 64
-    qp_s, blk = mpc_qp_stagewise_batch(Bs, horizon=Ts, dtype=jnp.float32)
-    jax.block_until_ready(qp_s)
-    mpc_rows = (
-        ("dense, vmap", QPSettings(adaptive_rho=True, max_iter=100), "vmap"),
-        ("blocktri, vmap", QPSettings(
-            adaptive_rho=True, max_iter=100,
-            linear_solver="schur_block_tridiag", block_size=blk), "vmap"),
-        ("blocktri, fused fixed-schedule", QPSettings(
-            adaptive_rho=True, max_iter=100, schedule="fixed",
-            linear_solver="schur_block_tridiag", block_size=blk), "fused"),
-        # round-4 structured whole-solve kernel (ops/qp_kernel_btd.py):
-        # block-Thomas factor + band sweeps + scalar-core early exit in
-        # ONE Pallas call — no dense n^3, no full fixed budget
-        ("blocktri, whole-solve kernel", QPSettings(
-            adaptive_rho=True, max_iter=100, schedule="fixed",
-            linear_solver="schur_block_tridiag", block_size=blk), "kernel"),
-    )
-    for label, s_cfg, impl in mpc_rows:
-        sol_fn = jax.jit(
-            lambda p, s_cfg=s_cfg, impl=impl: qp_solve_batch(p, s_cfg, impl=impl)
-        )
-        _ = np.asarray(sol_fn(qp_s).x)
-        ts = []
-        for seed in (salt % 9973 + 1, salt % 9973 + 2):
-            qp2, _ = mpc_qp_stagewise_batch(Bs, horizon=Ts, seed=seed, dtype=jnp.float32)
-            jax.block_until_ready(qp2)
-            t0 = time.perf_counter()
-            rs = sol_fn(qp2)
-            _ = np.asarray(rs.info.status)
-            ts.append(time.perf_counter() - t0)
-        note = (
-            "  [fixed schedule: executes the FULL max_iter budget (XLA "
-            "conds don't skip work on this runtime) yet lands within "
-            "~15% of the early-exiting vmap row with ZERO host-synced "
-            "loop conditions — the right tier when dispatch latency "
-            "matters]"
-            if impl == "fused" else ""
-        )
-        log(
-            f"structured MPC ({label}): n={qp_s.P.shape[-1]} B={Bs} "
-            f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
-            + note
-        )
-
-    # ---- supplementary: arrow-structured (bordered) coupled MPC -------------
-    # multi-agent rendezvous: block-diagonal Schur (one block per agent)
-    # bordered by the shared meet-point columns — the border-coupled
-    # structure block-tridiag cannot express.  O(T b^3 + c^3) vs dense
-    # O((Tb + c)^3).
-    #
-    # HONEST CAVEAT (measured round 4, scripts/arrowprobe2/3.py): these
-    # are CAPABILITY rows, not perf wins, on this chip.  (a) Every
-    # benchable ADMM config is solve-dominated, and both backends run the
-    # identical dense fused per-iteration operator (the block-form solve
-    # chain loses outright: lane-starved b-sized ops — see
-    # _arrow_factor_factory docstring).  (b) Even the ISOLATED factor
-    # phase only wins ~13% (45 vs 53 ms/factor at B=64 n=770; 95 vs 106
-    # at n=1026, b=128): f32 robustness of the composed bordered inverse
-    # requires a final dense Newton-Schulz correction (two n^3 MXU
-    # matmuls) that swamps the O(T b^3) structural savings.  The
-    # asymptotic payoff is real only where dense n^3 beats the MXU's
-    # ~20 TFLOP/s — far beyond relay-benchable shapes.  A factor-
-    # dominated regime was probed (eps 1e-6 + adaptive rho): f32 ADMM
-    # does not converge there at all, so no realistic winning config
-    # exists on this hardware.  The backend's value is the CAPABILITY
-    # (the reference's sparse ambition, qp_solver_sparse_test.cpp:51-98)
-    # and the reduced sequential factor depth (n -> b), not throughput.
-    from sqp_solver_tpu.models.mpc import mpc_qp_coupled_batch
-
-    # shape probed on-device (scripts/arrowprobe.py): the structure pays in
-    # the factor phase, so many small blocks (48 agents, b=16) on a large n
-    # is where arrow beats dense; at small n the MXU-dense default wins and
-    # is the recommended backend (see _arrow_factor_factory docstring)
-    Ba, Ag, Hz = 64, 48, 16
-    qp_a, blk_a, cw = mpc_qp_coupled_batch(Ba, agents=Ag, horizon=Hz, dtype=jnp.float32)
-    jax.block_until_ready(qp_a)
-    arrow_rows = (
-        ("dense, vmap", QPSettings(adaptive_rho=True, max_iter=100), "vmap"),
-        ("arrow, vmap", QPSettings(
-            adaptive_rho=True, max_iter=100,
-            linear_solver="schur_arrow", block_size=blk_a, arrow_width=cw), "vmap"),
-        ("arrow, fused fixed-schedule", QPSettings(
-            adaptive_rho=True, max_iter=100, schedule="fixed",
-            linear_solver="schur_arrow", block_size=blk_a, arrow_width=cw), "fused"),
-    )
-    for label, s_cfg, impl in arrow_rows:
-        sol_fn = jax.jit(
-            lambda p, s_cfg=s_cfg, impl=impl: qp_solve_batch(p, s_cfg, impl=impl)
-        )
-        _ = np.asarray(sol_fn(qp_a).x)
-        ts = []
-        for seed in (salt % 9973 + 1, salt % 9973 + 2):
-            qp2, _, _ = mpc_qp_coupled_batch(
-                Ba, agents=Ag, horizon=Hz, seed=seed, dtype=jnp.float32
-            )
-            jax.block_until_ready(qp2)
-            t0 = time.perf_counter()
-            rs = sol_fn(qp2)
-            _ = np.asarray(rs.info.status)
-            ts.append(time.perf_counter() - t0)
-        log(
-            f"coupled MPC arrow ({label}): n={qp_a.P.shape[-1]} B={Ba} "
-            f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
-            + ("  [fixed schedule: full budget, zero host syncs, see above]"
-               if impl == "fused" else "")
-        )
-
-    # ---- supplementary: arbitrary unstructured sparsity (BlockSparse + CG) --
-    # The capability the reference reserves for Eigen::SimplicialLDLT
-    # (include/solvers/qp.hpp:126-129): a RANDOM block pattern no banded/
-    # bordered backend can express.  TPU-native representation: dense
-    # MXU-granular tiles + matrix-free Jacobi-CG (ops/block_sparse.py) —
-    # no Gram, no factorization, no fill-in.  Dense twin solved with the
-    # same CG (operator cost isolation) and with the blocked-MXU Cholesky
-    # (the best dense backend at this n).
-    from sqp_solver_tpu.models.sparse import sparse_qp_pair
-    from sqp_solver_tpu.qp import qp_solve as qp_solve_one
-
-    Nsp = 4096
-    d0, s0 = sparse_qp_pair(
-        n=Nsp, m=Nsp, bs=128, density=0.03, seed=salt % 97, dtype=jnp.float32
-    )
-    cg_cfg = QPSettings(
-        linear_solver="cg", eps_abs=1e-4, eps_rel=1e-4, max_iter=2000,
-        check_termination=25, adaptive_rho=True,
-    )
-    chol_cfg = _dc.replace(cg_cfg, linear_solver="schur_cholesky_blocked")
-    sp_rows = (
-        ("sparse-cg", lambda p: qp_solve_one(p, cg_cfg), True),
-        ("dense-cg", lambda p: qp_solve_one(p, cg_cfg), False),
-        ("dense-chol-blocked", lambda p: qp_solve_one(p, chol_cfg), False),
-    )
-    for label, fn, use_sparse in sp_rows:
-        sol_fn = jax.jit(fn)
-        prob0 = s0 if use_sparse else d0
-        _ = np.asarray(sol_fn(prob0).info.status)
-        ts = []
-        for rep in (1, 2):
-            d2, s2 = sparse_qp_pair(
-                n=Nsp, m=Nsp, bs=128, density=0.03,
-                seed=salt % 97 + rep, dtype=jnp.float32,
-            )
-            p2 = s2 if use_sparse else d2
-            jax.block_until_ready(jax.tree.leaves(p2))
-            t0 = time.perf_counter()
-            r2 = sol_fn(p2)
-            st2 = int(np.asarray(r2.info.status))
-            ts.append(time.perf_counter() - t0)
-        log(
-            f"unstructured sparse QP ({label}): n={Nsp} "
-            f"(P {s0.P.nblocks}/{(Nsp//128)**2} blocks) time={min(ts)*1e3:.0f}ms "
-            f"status={st2} iters={int(np.asarray(r2.info.iter))}"
-        )
-
-    # ---- supplementary: batched QP throughput -------------------------------
-    qp_settings = QPSettings(
-        alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=200,
-        check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
-        schedule="fixed",
-    )
-    qp0 = random_qp_batch(batch=B, n=32, m=33, seed=0, dtype=jnp.float32)
-    qsolve = jax.jit(lambda p: qp_solve_batch(p, qp_settings, impl="kernel"))
-    jax.block_until_ready(qp0)
-    _ = np.asarray(qsolve(qp0).x)
-    qtimes = []
-    for seed in (salt % 9973 + 1, salt % 9973 + 2):
-        qp = random_qp_batch(batch=B, n=32, m=33, seed=seed, dtype=jnp.float32)
-        jax.block_until_ready(qp)
-        t0 = time.perf_counter()
-        qres = qsolve(qp)
-        _ = np.asarray(qres.info.status)
-        qtimes.append(time.perf_counter() - t0)
-    t_qp = min(qtimes)
-    log(
-        f"qp batch: B={B} n=32 m=33 time={t_qp*1e3:.1f}ms -> {B/t_qp:.0f} qp/s; "
-        f"solved={float(np.mean(np.asarray(qres.info.status)==0)):.3f}"
-    )
-
-    # ---- supplementary: OSQP-paper families (untuned breadth) ---------------
-    # The five problem classes the reference re-implements OSQP for
-    # (reference README.md:6; OSQP paper §5): random QP, lasso, huber,
-    # SVM, portfolio — generated ON DEVICE (models/families.py device
-    # twins), solved on the flagship kernel tier at the reference's own
-    # 1e-4 tolerance, statuses certified against TRUE residuals
-    # (polish-refreshed), accuracy against the long-double C++ oracle
-    # (runtime/native.py) on a 128-problem subsample.  One shared,
-    # UNTUNED config for every row: Ruiz scaling=10 (the OSQP capability
-    # the reference dropped; without it huber/portfolio stall at any
-    # budget — measured round 4), max_iter=300 fixed schedule (the
-    # slowest class, portfolio, certifies 1.000 at 300 vs 0.988 at 250),
-    # polish.
-    from sqp_solver_tpu.models import families as fam
-    from sqp_solver_tpu.runtime.native import (
-        native_available,
-        native_qp_solve_batch,
-    )
-
-    Bf = 1024
-    fam_settings = QPSettings(
-        alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=300,
-        check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
-        polish=True, scaling=10, schedule="fixed",
-    )
-    fam_rows = (
-        ("random n=32 m=48", lambda k: fam.random_qp_batch_device(k, Bf, 32, 48)),
-        ("lasso nf=8 ns=16", lambda k: fam.lasso_qp_batch_device(k, Bf, 8, 16)),
-        ("huber nf=8 ns=16", lambda k: fam.huber_qp_batch_device(k, Bf, 8, 16)),
-        ("svm nf=8 ns=16", lambda k: fam.svm_qp_batch_device(k, Bf, 8, 16)),
-        ("portfolio na=16 nk=4", lambda k: fam.portfolio_qp_batch_device(k, Bf, 16, 4)),
-    )
-    oracle_settings = QPSettings(
-        eps_abs=1e-10, eps_rel=1e-10, max_iter=20000, adaptive_rho=True
-    )
-    for fname, build_f in fam_rows:
-        solve_f = jax.jit(
-            lambda key, b=build_f: qp_solve_batch(b(key), fam_settings, impl="kernel")
-        )
-        _ = np.asarray(solve_f(jax.random.PRNGKey(0)).info.status)
-        tf = []
+        solve_big = jax.jit(run_big)
+        jax.block_until_ready(solve_big(jax.random.PRNGKey(0)).x)
+        tb = []
         for rep in (1, 2, 3):
-            key = jax.random.PRNGKey(salt + 512 + rep)
+            key = jax.random.PRNGKey(salt + 128 + rep)
             jax.block_until_ready(key)
             t0 = time.perf_counter()
-            rf = solve_f(key)
-            _ = np.asarray(rf.info.status)
-            tf.append(time.perf_counter() - t0)
-        solved_f = float(np.mean(np.asarray(rf.info.status) == 0))
-        if native_available():
-            key_a = jax.random.PRNGKey(salt + 999)
-            prob_f = jax.jit(
-                lambda k, b=build_f: jax.tree_util.tree_map(
-                    lambda x: x[:128], b(k)
-                )
-            )(key_a)
-            rf_a = solve_f(key_a)
-            x_or, _, st_or, _ = native_qp_solve_batch(
-                np.asarray(prob_f.P, np.float64), np.asarray(prob_f.q, np.float64),
-                np.asarray(prob_f.A, np.float64), np.asarray(prob_f.l, np.float64),
-                np.asarray(prob_f.u, np.float64), oracle_settings,
-            )
-            ok_or = st_or == 0
-            err_f = float(
-                np.percentile(
-                    np.abs(np.asarray(rf_a.x, np.float64)[:128][ok_or] - x_or[ok_or]),
-                    99,
-                )
-            )
-            acc = f"err_p99_vs_long_double_oracle={err_f:.2e} (oracle solved {int(ok_or.sum())}/128)"
-        else:
-            acc = "long-double oracle unavailable on this host"
+            rb = solve_big(key)
+            _ = np.asarray(rb.info.status)
+            tb.append(time.perf_counter() - t0)
         log(
-            f"family {fname}: B={Bf} time={min(tf)*1e3:.1f}ms -> "
-            f"{Bf/min(tf):.0f} qp/s; solved={solved_f:.3f} @eps=1e-4; {acc}"
+            f"sqp batch scale-out: B={B_big} n={N} time={min(tb)*1e3:.1f}ms -> "
+            f"{B_big/min(tb):.0f} solves/s; "
+            f"solved={float(np.mean(np.asarray(rb.info.status)==0)):.3f}"
+        )
+        recap(f"scaleout B16384 {B_big/min(tb):.0f}/s")
+
+    with leg("n128"):
+        # ---- n=128 SQP config (north-star "n <= 128, >= 1e4 solves/s") ---------
+        # Two-phase configuration (budget sweep, scripts/n128bench.py round 3):
+        # 2 damped SQP outer iterations for globalization + 3 Newton-KKT
+        # polish passes (true-Hessian active-set refinement with per-problem
+        # accept guards and true-residual status certification) — solved is
+        # judged by re-linearized KKT error, accuracy by the closed form.
+        N2 = 128
+        settings128 = SQPSettings(
+            max_iter=2,
+            eps_prim=2e-3,
+            eps_dual=2e-3,
+            termination="kkt",
+            schedule="fixed",
+            qp_impl="kernel",
+            polish=True,
+            polish_passes=3,
+            # 4 refinement sweeps per pass (default 6): each sweep contracts
+            # the KKT error by ~polish_delta; at n=128 the f32 floor is
+            # reached by sweep 4 (round-4 sweep: err_p99 1.4e-7 at sw4 vs
+            # 1.2e-7 at sw6, ~9 ms cheaper; 2 passes instead of 3 degrades
+            # to 5.6e-5 — keep 3)
+            polish_sweeps=4,
+            line_search_max_iter=5,
+            qp=settings.qp,
         )
 
-    # ---- supplementary: multi-outer NLP (exp-chain, ~25 outers) -------------
-    # The sphere-cap headline converges in 2-3 damped Newton outers; this
-    # row is the honest multi-outer complement: a strictly-convex
-    # exponential-chain NLP (models/benchmark.py) whose damped-BFGS path
-    # needs ~20-35 outer iterations from the cold start.  Full fixed
-    # budget of 36 outers, statuses from the solver, certification from
-    # an INDEPENDENT f64 evaluation of the exact KKT residuals.
-    from sqp_solver_tpu.models.benchmark import (
-        exp_chain_kkt_residuals,
-        exp_chain_nlp_batch_device,
-    )
+        for B2 in (1024, 4096):
+            build128 = make_problem_generator(B2, N2, jnp.float32)
 
-    Be, Ne = 1024, 32
-    settings_exp = SQPSettings(
-        max_iter=36, eps_prim=1e-3, eps_dual=1e-3, termination="kkt",
-        schedule="fixed", qp_impl="kernel", polish=True, polish_passes=3,
-        line_search_max_iter=6,
-        qp=QPSettings(
-            alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=50,
-            check_termination=10, warm_start=True, adaptive_rho=True,
-            adaptive_rho_interval=50, schedule="fixed",
-        ),
-    )
+            def run128(key, build128=build128):
+                problem, x0 = build128(key)
+                return sqp_solve_batch(problem, x0, None, settings128, impl="fused")
 
-    def run_exp(key):
-        problem, x0 = exp_chain_nlp_batch_device(key, Be, Ne, jnp.float32)
-        return sqp_solve_batch(problem, x0, None, settings_exp, impl="fused")
+            solve128 = jax.jit(run128)
+            _ = np.asarray(solve128(jax.random.PRNGKey(0)).x)
+            t128s = []
+            for rep in (1, 2, 3, 4, 5):
+                key = jax.random.PRNGKey(salt + 64 + rep)
+                jax.block_until_ready(key)
+                t0 = time.perf_counter()
+                r128 = solve128(key)
+                _ = np.asarray(r128.info.status)
+                t128s.append(time.perf_counter() - t0)
+            t128 = min(t128s)
+            prob128, _ = jax.jit(build128)(jax.random.PRNGKey(9))
+            r128a = solve128(jax.random.PRNGKey(9))
+            err128 = float(
+                np.percentile(
+                    np.abs(np.asarray(r128a.x, np.float64) - solution(prob128)), 99
+                )
+            )
+            log(
+                f"sqp batch n=128: B={B2} time={t128*1e3:.0f}ms -> "
+                f"{B2/t128:.0f} solves/s; "
+                f"solved={float(np.mean(np.asarray(r128.info.status)==0)):.3f} "
+                f"err_p99={err128:.2e}"
+                + ("  [north star: >= 1e4 at n=128]" if B2 == 1024 else "")
+            )
+            recap(f"n128 B{B2} {B2/t128:.0f}/s err={err128:.0e}")
+            if B2 == 1024:
+                cert_128 = sphere_cert_1e4(prob128, r128a, log, f"n={N2} B={B2}")
+                recap(f"n128cert1e-4={cert_128:.2f}")
+                # dispatch-floor decomposition (VERDICT r3 item 5): time a
+                # program that chains K independent full solves (fresh
+                # on-device problems each); the K-slope is the true compute
+                # cost per batch, the intercept is the per-dispatch relay
+                # floor no solver change can shave
+                def runK(key, K, build128=build128):
+                    acc = jnp.zeros((), jnp.int32)
+                    for i in range(K):
+                        pk, xk = build128(jax.random.fold_in(key, i))
+                        rk = sqp_solve_batch(pk, xk, None, settings128, impl="fused")
+                        acc = acc + jnp.sum(rk.info.status)
+                    return acc
 
-    solve_exp = jax.jit(run_exp)
-    _ = np.asarray(solve_exp(jax.random.PRNGKey(0)).info.status)
-    te = []
-    for rep in (1, 2, 3):
-        key = jax.random.PRNGKey(salt + 2048 + rep)
-        jax.block_until_ready(key)
-        t0 = time.perf_counter()
-        re_ = solve_exp(key)
-        _ = np.asarray(re_.info.status)
-        te.append(time.perf_counter() - t0)
-    key_e = jax.random.PRNGKey(salt + 2060)
-    prob_e, _ = jax.jit(
-        lambda k: exp_chain_nlp_batch_device(k, Be, Ne, jnp.float32)
-    )(key_e)
-    re_a = solve_exp(key_e)
-    pv_e, dr_e = exp_chain_kkt_residuals(prob_e, re_a.x, re_a.lam)
-    it_e = np.asarray(re_.info.iter)
-    cert_e = float(np.mean((pv_e <= 1e-4) & (dr_e <= 1e-4)))
-    log(
-        f"multi-outer NLP (exp-chain): n={Ne} B={Be} time={min(te)*1e3:.0f}ms -> "
-        f"{Be/min(te):.0f} solves/s; solved={float(np.mean(np.asarray(re_.info.status)==0)):.3f} "
-        f"iters p50={np.percentile(it_e,50):.0f} p99={np.percentile(it_e,99):.0f}; "
-        f"f64 KKT cert @1e-4: {cert_e:.3f} (dr_p99={np.percentile(dr_e,99):.1e})"
-        f"  [the >=8-outer row: full 36-outer fixed budget, no per-family tuning]"
-    )
+                tK = {}
+                for K in (1, 3):
+                    fK = jax.jit(lambda key, K=K: runK(key, K))
+                    _ = np.asarray(fK(jax.random.PRNGKey(0)))
+                    best = 1e9
+                    for rep in (1, 2):
+                        key = jax.random.PRNGKey(salt + 300 + 7 * K + rep)
+                        jax.block_until_ready(key)
+                        t0 = time.perf_counter()
+                        _ = np.asarray(fK(key))
+                        best = min(best, time.perf_counter() - t0)
+                    tK[K] = best
+                slope = (tK[3] - tK[1]) / 2
+                floor = max(tK[1] - slope, 0.0)
+                log(
+                    f"  n=128 B=1024 decomposition: compute slope "
+                    f"{slope*1e3:.1f}ms/solve-batch (in-program ceiling "
+                    f"{B2/slope:.0f} solves/s), relay dispatch floor "
+                    f"{floor*1e3:.1f}ms/dispatch ({floor/tK[1]*100:.0f}% of "
+                    f"wall — amortize with B, demonstrated at B=4096)"
+                )
+                recap(
+                    f"n128 slope={slope*1e3:.0f}ms floor={floor*1e3:.0f}ms"
+                )
 
-    # ---- supplementary: differentiable QP layer (fwd + bwd on TPU) ----------
-    # OptNet-style implicit differentiation THROUGH the solver
-    # (qp/diff.py) — the adjoint KKT solve rides the whole-pass Pallas
-    # polish kernel on TPU batches.  Timed: forward solve alone vs
-    # forward + backward (gradients to every problem leaf P, q, A, l, u).
-    from sqp_solver_tpu.qp.diff import qp_solve_diff
+    with leg("large-n"):
+        # ---- supplementary: large-n single NLP (BASELINE configs[4], n~4096) ----
+        # blocked MXU Cholesky backend (SURVEY C6 north-star kernel): round-1
+        # baseline was 1.8 s/solve via schur_cholesky_tri
+        import dataclasses as _dc
 
-    Bd, Nd = 1024, 128
-    diff_settings = QPSettings(
-        alpha=1.6, eps_abs=1e-5, eps_rel=1e-5, max_iter=200,
-        check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
-        polish=True, schedule="fixed",
-    )
-    build_d = lambda k: fam.random_qp_batch_device(k, Bd, Nd, Nd)
-
-    def fwd_only(key):
-        x = qp_solve_diff(build_d(key), diff_settings, "fused")
-        return jnp.sum(x * x)
-
-    def fwd_bwd(key):
-        qp_d = build_d(key)
-        loss, grads = jax.value_and_grad(
-            lambda q: jnp.sum(qp_solve_diff(q, diff_settings, "fused") ** 2)
-        )(qp_d)
-        # tiny scalar that depends on EVERY gradient leaf: forces the
-        # backward pass inside the timed region
-        gsum = (
-            jnp.sum(jnp.abs(grads.q)) + jnp.sum(jnp.abs(grads.P))
-            + jnp.sum(jnp.abs(grads.A)) + jnp.sum(jnp.abs(grads.l))
-            + jnp.sum(jnp.abs(grads.u))
+        from sqp_solver_tpu.models.benchmark import (
+            sphere_cap_nlp_batch,
+            sphere_cap_solution,
         )
-        return loss, gsum
+        from sqp_solver_tpu.sqp import sqp_solve
 
-    f_fwd = jax.jit(fwd_only)
-    f_fb = jax.jit(fwd_bwd)
-    _ = np.asarray(f_fwd(jax.random.PRNGKey(0)))
-    _ = np.asarray(f_fb(jax.random.PRNGKey(0))[1])
-    td_f, td_b = [], []
-    for rep in (1, 2, 3):
-        key = jax.random.PRNGKey(salt + 4096 + rep)
-        jax.block_until_ready(key)
-        t0 = time.perf_counter()
-        _ = np.asarray(f_fwd(key))
-        td_f.append(time.perf_counter() - t0)
-        key2 = jax.random.PRNGKey(salt + 4200 + rep)
-        jax.block_until_ready(key2)
-        t0 = time.perf_counter()
-        lo_, gs_ = f_fb(key2)
-        _ = np.asarray(gs_)
-        td_b.append(time.perf_counter() - t0)
-    gs_f = float(np.asarray(gs_))
-    # relay wall time varies ~20% between dispatches; a small backward
-    # increment can be swamped by that noise (negative deltas are noise)
-    bwd_ms = (min(td_b) - min(td_f)) * 1e3
-    bwd_note = (
-        f"backward adds {bwd_ms:.0f}ms"
-        if bwd_ms >= 0
-        else "backward cost below relay timing noise (~20%)"
-    )
-    log(
-        f"differentiable QP (qp_solve_diff): B={Bd} n={Nd} forward={min(td_f)*1e3:.0f}ms, "
-        f"forward+backward={min(td_b)*1e3:.0f}ms ({bwd_note}; adjoint rides "
-        f"the Pallas polish kernel); grad-magnitude sum={gs_f:.3e} (finite)"
-    )
+        NL = 4096
+        prob_l_b, x0_l_b = sphere_cap_nlp_batch(1, NL, seed=0, dtype=jnp.float32)
+        prob_l = _dc.replace(
+            prob_l_b, l=prob_l_b.l[0], u=prob_l_b.u[0], params=prob_l_b.params[0],
+            constraint_linearized_t=None, lagrangian_hessian_t=None,
+        )
+        x0_l = x0_l_b[0]
+        settings_l = SQPSettings(
+            max_iter=10, eps_prim=1e-3, eps_dual=1e-3, termination="kkt",
+            schedule="fixed", line_search_max_iter=8, polish=True,
+            qp=QPSettings(alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=50,
+                          check_termination=10, adaptive_rho=True,
+                          adaptive_rho_interval=50, schedule="fixed",
+                          linear_solver="schur_cholesky_blocked", refine_steps=1),
+        )
+        solve_l = jax.jit(lambda p, x: sqp_solve(p, x, None, settings_l))
+        _ = np.asarray(solve_l(prob_l, x0_l).x)
+        tl = []
+        for rep in (1, 2):
+            prob_r_b, x0_r_b = sphere_cap_nlp_batch(
+                1, NL, seed=salt % 9973 + rep, dtype=jnp.float32
+            )
+            # swap only the ARRAY leaves into prob_l's structure: fresh
+            # callable objects would retrace/recompile the jit per rep
+            prob_r = _dc.replace(
+                prob_l, l=prob_r_b.l[0], u=prob_r_b.u[0], params=prob_r_b.params[0],
+            )
+            x0_r = x0_r_b[0]
+            jax.block_until_ready(x0_r)
+            t0 = time.perf_counter()
+            rl = solve_l(prob_r, x0_r)
+            _ = np.asarray(rl.info.status)
+            tl.append(time.perf_counter() - t0)
+        err_l = float(
+            np.max(np.abs(np.asarray(rl.x, np.float64) - sphere_cap_solution(prob_r_b)[0]))
+        )
+        log(
+            f"large-n NLP: n={NL} time={min(tl)*1e3:.0f}ms status={int(rl.info.status)} "
+            f"err={err_l:.2e} (round-1: 1800ms via schur_cholesky_tri; blocked "
+            f"MXU Cholesky + refinement)"
+        )
+        recap(f"n4096NLP {min(tl)*1e3:.0f}ms err={err_l:.0e}")
 
-    # ---- supplementary: Anderson acceleration (fused tier) ------------------
-    # demonstrated where it matters: tight tolerances at fixed rho, where
-    # plain ADMM's linear tail is long (at loose eps the solve finishes in
-    # ~3 chunks and AA has no room to build its extrapolation window)
-    qp_tight = QPSettings(
-        alpha=1.6, eps_abs=1e-6, eps_rel=1e-6, max_iter=2000,
-        check_termination=25, schedule="fixed",
-    )
-    import dataclasses as _dc2
+    with leg("btd-mpc"):
+        # ---- supplementary: structured (block-tridiagonal) MPC vs dense ---------
+        from sqp_solver_tpu.models.mpc import mpc_qp_stagewise_batch
 
-    # in-kernel AA on the flagship whole-solve kernel tier (round 3)
-    qp_aa = _dc2.replace(qp_tight, acceleration="anderson")
-    asolve = jax.jit(lambda p: qp_solve_batch(p, qp_aa, impl="kernel"))
-    psolve = jax.jit(lambda p: qp_solve_batch(p, qp_tight, impl="kernel"))
-    _ = np.asarray(asolve(qp0).x)
-    _ = np.asarray(psolve(qp0).x)
-    qp2 = random_qp_batch(batch=B, n=32, m=33, seed=3, dtype=jnp.float32)
-    jax.block_until_ready(qp2)
-    ra = asolve(qp2)
-    rp = psolve(qp2)
-    it_a = float(np.mean(np.asarray(ra.info.iter)))
-    it_p = float(np.mean(np.asarray(rp.info.iter)))
-    log(
-        f"anderson acceleration (kernel tier, in-kernel AA): mean iters "
-        f"{it_p:.0f} -> {it_a:.0f} ({it_p/max(it_a,1e-9):.2f}x); solved "
-        f"{float(np.mean(np.asarray(ra.info.status)==0)):.3f}"
-    )
+        # three configurations: the blocktri backend's O(T b^3) factorization
+        # vs dense O((Tb)^3) on the vmap tier (fastest on this shape), plus
+        # the fixed-schedule fused path (zero dynamic loop conditions — the
+        # right tier when relay/host-sync costs dominate)
+        Bs, Ts = 256, 64
+        qp_s, blk = mpc_qp_stagewise_batch(Bs, horizon=Ts, dtype=jnp.float32)
+        jax.block_until_ready(qp_s)
+        mpc_rows = (
+            ("dense, vmap", QPSettings(adaptive_rho=True, max_iter=100), "vmap"),
+            ("blocktri, vmap", QPSettings(
+                adaptive_rho=True, max_iter=100,
+                linear_solver="schur_block_tridiag", block_size=blk), "vmap"),
+            ("blocktri, fused fixed-schedule", QPSettings(
+                adaptive_rho=True, max_iter=100, schedule="fixed",
+                linear_solver="schur_block_tridiag", block_size=blk), "fused"),
+            # round-4 structured whole-solve kernel (ops/qp_kernel_btd.py):
+            # block-Thomas factor + band sweeps + scalar-core early exit in
+            # ONE Pallas call — no dense n^3, no full fixed budget
+            ("blocktri, whole-solve kernel", QPSettings(
+                adaptive_rho=True, max_iter=100, schedule="fixed",
+                linear_solver="schur_block_tridiag", block_size=blk), "kernel"),
+        )
+        mpc_short = {"dense, vmap": "dense", "blocktri, vmap": "btdV",
+                     "blocktri, fused fixed-schedule": "btdF",
+                     "blocktri, whole-solve kernel": "btdK"}
+        mpc_rc = []
+        for label, s_cfg, impl in mpc_rows:
+            sol_fn = jax.jit(
+                lambda p, s_cfg=s_cfg, impl=impl: qp_solve_batch(p, s_cfg, impl=impl)
+            )
+            _ = np.asarray(sol_fn(qp_s).x)
+            ts = []
+            for seed in (salt % 9973 + 1, salt % 9973 + 2):
+                qp2, _ = mpc_qp_stagewise_batch(Bs, horizon=Ts, seed=seed, dtype=jnp.float32)
+                jax.block_until_ready(qp2)
+                t0 = time.perf_counter()
+                rs = sol_fn(qp2)
+                _ = np.asarray(rs.info.status)
+                ts.append(time.perf_counter() - t0)
+            note = (
+                "  [fixed schedule: executes the FULL max_iter budget (XLA "
+                "conds don't skip work on this runtime) yet lands within "
+                "~15% of the early-exiting vmap row with ZERO host-synced "
+                "loop conditions — the right tier when dispatch latency "
+                "matters]"
+                if impl == "fused" else ""
+            )
+            log(
+                f"structured MPC ({label}): n={qp_s.P.shape[-1]} B={Bs} "
+                f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
+                + note
+            )
+            mpc_rc.append(f"{mpc_short[label]}={min(ts)*1e3:.0f}ms")
+        recap("mpc " + " ".join(mpc_rc))
 
-    # (headline JSON already emitted right after the headline leg)
+    with leg("btd-nlp"):
+        # ---- supplementary: NONLINEAR stage-wise MPC — structured SQP tier -------
+        # Round-5 ask: the btd whole-solve kernel as the inner QP of an SQP
+        # tier.  Unicycle chain, T=48 stages -> n=192 m=336 block size 4
+        # (models/mpc.py:mpc_nlp_stagewise_batch).  Both rows run the SAME
+        # outer algorithm (fixed 12-outer budget, l1 merit, Newton-KKT
+        # polish epilogue) and the SAME instances; the inner QP is the only
+        # difference: dense whole-solve kernel (O(n^3) panel Cholesky, dense
+        # BFGS) vs block-Thomas btd kernel (O(T bb^3), per-stage
+        # block-diagonal BFGS — sqp/solver_btd.py).  Certification is an
+        # independent hand-derived f64 KKT evaluation (models/mpc.py:
+        # mpc_nlp_kkt_residuals), reference bar eps=1e-4 (src/sqp.cpp:19-20).
+        import dataclasses
+
+        from sqp_solver_tpu.models.mpc import (
+            mpc_nlp_kkt_residuals,
+            mpc_nlp_stagewise_batch,
+        )
+
+        Bn_, Tn_ = 256, 48
+        base_n = SQPSettings(
+            max_iter=12, eps_prim=1e-4, eps_dual=1e-4, termination="kkt",
+            schedule="fixed", polish=True, polish_passes=3,
+            line_search_max_iter=8, qp_impl="kernel_btd",
+            qp=QPSettings(
+                alpha=1.6, eps_abs=1e-5, eps_rel=1e-5, max_iter=150,
+                check_termination=25, warm_start=True, adaptive_rho=True,
+                adaptive_rho_interval=50, block_size=4,
+            ),
+        )
+        nlp_rows = (
+            ("btd kernel tier", base_n),
+            ("dense kernel tier", dataclasses.replace(base_n, qp_impl="kernel")),
+        )
+        nlp_times = {}
+        nlp_rc = []
+        for label, s_n in nlp_rows:
+            sol_n = jax.jit(
+                lambda pr, xx, s_n=s_n: sqp_solve_batch(
+                    pr, xx, None, s_n, impl="fused"
+                )
+            )
+            prob_w, x0_w, _ = mpc_nlp_stagewise_batch(
+                Bn_, horizon=Tn_, seed=0, dtype=jnp.float32
+            )
+            _ = np.asarray(sol_n(prob_w, x0_w).info.status)  # warm compile
+            ts_n = []
+            for seed in (salt % 9973 + 1, salt % 9973 + 2):
+                prob_i, x0_i, _ = mpc_nlp_stagewise_batch(
+                    Bn_, horizon=Tn_, seed=seed, dtype=jnp.float32
+                )
+                jax.block_until_ready(x0_i)
+                t0 = time.perf_counter()
+                rn = sol_n(prob_i, x0_i)
+                _ = np.asarray(rn.info.status)
+                ts_n.append(time.perf_counter() - t0)
+            pv_n, dr_n = mpc_nlp_kkt_residuals(prob_i, rn.x, rn.lam, horizon=Tn_)
+            cert_n = float(np.mean((pv_n <= 1e-4) & (dr_n <= 1e-4)))
+            nlp_times[label] = min(ts_n)
+            log(
+                f"nonlinear MPC SQP ({label}): n={4*Tn_} m={7*Tn_} B={Bn_} "
+                f"12 outers fixed, time={min(ts_n)*1e3:.0f}ms -> "
+                f"{Bn_/min(ts_n):.0f} solves/s; f64 KKT cert @1e-4: {cert_n:.3f} "
+                f"(dr_p99={np.percentile(dr_n,99):.1e} pv_p99={np.percentile(pv_n,99):.1e})"
+            )
+            nlp_rc.append(
+                f"{'btd' if 'btd' in label else 'dense'}={min(ts_n)*1e3:.0f}ms"
+                + (f" cert={cert_n:.2f}" if "btd" in label else "")
+            )
+        ratio_n = nlp_times["dense kernel tier"] / nlp_times["btd kernel tier"]
+        log(
+            f"  structured-vs-dense inner QP at n=192: {ratio_n:.2f}x "
+            f"(round-5 target >= 1.5x)"
+        )
+        recap("nlpmpc " + " ".join(nlp_rc) + f" x{ratio_n:.1f}")
+
+    with leg("arrow"):
+        # ---- supplementary: arrow-structured (bordered) coupled MPC -------------
+        # multi-agent rendezvous: block-diagonal Schur (one block per agent)
+        # bordered by the shared meet-point columns — the border-coupled
+        # structure block-tridiag cannot express.  O(T b^3 + c^3) vs dense
+        # O((Tb + c)^3).
+        #
+        # HONEST CAVEAT (measured round 4, scripts/arrowprobe2/3.py): these
+        # are CAPABILITY rows, not perf wins, on this chip.  (a) Every
+        # benchable ADMM config is solve-dominated, and both backends run the
+        # identical dense fused per-iteration operator (the block-form solve
+        # chain loses outright: lane-starved b-sized ops — see
+        # _arrow_factor_factory docstring).  (b) Even the ISOLATED factor
+        # phase only wins ~13% (45 vs 53 ms/factor at B=64 n=770; 95 vs 106
+        # at n=1026, b=128): f32 robustness of the composed bordered inverse
+        # requires a final dense Newton-Schulz correction (two n^3 MXU
+        # matmuls) that swamps the O(T b^3) structural savings.  The
+        # asymptotic payoff is real only where dense n^3 beats the MXU's
+        # ~20 TFLOP/s — far beyond relay-benchable shapes.  A factor-
+        # dominated regime was probed (eps 1e-6 + adaptive rho): f32 ADMM
+        # does not converge there at all, so no realistic winning config
+        # exists on this hardware.  The backend's value is the CAPABILITY
+        # (the reference's sparse ambition, qp_solver_sparse_test.cpp:51-98)
+        # and the reduced sequential factor depth (n -> b), not throughput.
+        from sqp_solver_tpu.models.mpc import mpc_qp_coupled_batch
+
+        # shape probed on-device (scripts/arrowprobe.py): the structure pays in
+        # the factor phase, so many small blocks (48 agents, b=16) on a large n
+        # is where arrow beats dense; at small n the MXU-dense default wins and
+        # is the recommended backend (see _arrow_factor_factory docstring)
+        Ba, Ag, Hz = 64, 48, 16
+        qp_a, blk_a, cw = mpc_qp_coupled_batch(Ba, agents=Ag, horizon=Hz, dtype=jnp.float32)
+        jax.block_until_ready(qp_a)
+        arrow_rows = (
+            ("dense, vmap", QPSettings(adaptive_rho=True, max_iter=100), "vmap"),
+            ("arrow, vmap", QPSettings(
+                adaptive_rho=True, max_iter=100,
+                linear_solver="schur_arrow", block_size=blk_a, arrow_width=cw), "vmap"),
+            ("arrow, fused fixed-schedule", QPSettings(
+                adaptive_rho=True, max_iter=100, schedule="fixed",
+                linear_solver="schur_arrow", block_size=blk_a, arrow_width=cw), "fused"),
+        )
+        arrow_short = {"dense, vmap": "dense", "arrow, vmap": "arwV",
+                       "arrow, fused fixed-schedule": "arwF"}
+        arrow_rc = []
+        for label, s_cfg, impl in arrow_rows:
+            sol_fn = jax.jit(
+                lambda p, s_cfg=s_cfg, impl=impl: qp_solve_batch(p, s_cfg, impl=impl)
+            )
+            _ = np.asarray(sol_fn(qp_a).x)
+            ts = []
+            for seed in (salt % 9973 + 1, salt % 9973 + 2):
+                qp2, _, _ = mpc_qp_coupled_batch(
+                    Ba, agents=Ag, horizon=Hz, seed=seed, dtype=jnp.float32
+                )
+                jax.block_until_ready(qp2)
+                t0 = time.perf_counter()
+                rs = sol_fn(qp2)
+                _ = np.asarray(rs.info.status)
+                ts.append(time.perf_counter() - t0)
+            log(
+                f"coupled MPC arrow ({label}): n={qp_a.P.shape[-1]} B={Ba} "
+                f"time={min(ts)*1e3:.0f}ms solved={float(np.mean(np.asarray(rs.info.status)==0)):.3f}"
+                + ("  [fixed schedule: full budget, zero host syncs, see above]"
+                   if impl == "fused" else "")
+            )
+            arrow_rc.append(f"{arrow_short[label]}={min(ts)*1e3:.0f}ms")
+        recap("arrow(capability) " + " ".join(arrow_rc))
+
+    with leg("sparse"):
+        # ---- supplementary: arbitrary unstructured sparsity (BlockSparse + CG) --
+        # The capability the reference reserves for Eigen::SimplicialLDLT
+        # (include/solvers/qp.hpp:126-129): a RANDOM block pattern no banded/
+        # bordered backend can express.  TPU-native representation: dense
+        # MXU-granular tiles + matrix-free Jacobi-CG (ops/block_sparse.py) —
+        # no Gram, no factorization, no fill-in.  Dense twin solved with the
+        # same CG (operator cost isolation) and with the blocked-MXU Cholesky
+        # (the best dense backend at this n).
+        from sqp_solver_tpu.models.sparse import sparse_qp_pair
+        from sqp_solver_tpu.qp import qp_solve as qp_solve_one
+
+        Nsp = 4096
+        # the block PATTERN is static pytree aux data (a new pattern is a
+        # new compile): keep pattern_seed FIXED across the timed reps and
+        # salt only the VALUES, so the timed region never retraces
+        # (round-4 advice: per-rep patterns made the sparse rows
+        # compile-dominated and the sparse-vs-dense comparison misleading)
+        psd = salt % 97
+        d0, s0 = sparse_qp_pair(
+            n=Nsp, m=Nsp, bs=128, density=0.03, seed=psd, dtype=jnp.float32
+        )
+        cg_cfg = QPSettings(
+            linear_solver="cg", eps_abs=1e-4, eps_rel=1e-4, max_iter=2000,
+            check_termination=25, adaptive_rho=True,
+        )
+        chol_cfg = _dc.replace(cg_cfg, linear_solver="schur_cholesky_blocked")
+        sp_rows = (
+            ("sparse-cg", lambda p: qp_solve_one(p, cg_cfg), True),
+            ("dense-cg", lambda p: qp_solve_one(p, cg_cfg), False),
+            ("dense-chol-blocked", lambda p: qp_solve_one(p, chol_cfg), False),
+        )
+        sp_rc = []
+        for label, fn, use_sparse in sp_rows:
+            sol_fn = jax.jit(fn)
+            prob0 = s0 if use_sparse else d0
+            _ = np.asarray(sol_fn(prob0).info.status)
+            ts = []
+            for rep in (1, 2):
+                d2, s2 = sparse_qp_pair(
+                    n=Nsp, m=Nsp, bs=128, density=0.03,
+                    seed=psd + rep, dtype=jnp.float32, pattern_seed=psd,
+                )
+                p2 = s2 if use_sparse else d2
+                jax.block_until_ready(jax.tree.leaves(p2))
+                t0 = time.perf_counter()
+                r2 = sol_fn(p2)
+                st2 = int(np.asarray(r2.info.status))
+                ts.append(time.perf_counter() - t0)
+            log(
+                f"unstructured sparse QP ({label}): n={Nsp} "
+                f"(P {s0.P.nblocks}/{(Nsp//128)**2} blocks) time={min(ts)*1e3:.0f}ms "
+                f"status={st2} iters={int(np.asarray(r2.info.iter))}"
+            )
+            sp_rc.append(f"{label}={min(ts)*1e3:.0f}ms")
+        recap("sparse n4096 " + " ".join(sp_rc))
+
+    with leg("qp-batch"):
+        # ---- supplementary: batched QP throughput -------------------------------
+        qp_settings = QPSettings(
+            alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=200,
+            check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
+            schedule="fixed",
+        )
+        qp0 = random_qp_batch(batch=B, n=32, m=33, seed=0, dtype=jnp.float32)
+        qsolve = jax.jit(lambda p: qp_solve_batch(p, qp_settings, impl="kernel"))
+        jax.block_until_ready(qp0)
+        _ = np.asarray(qsolve(qp0).x)
+        qtimes = []
+        for seed in (salt % 9973 + 1, salt % 9973 + 2):
+            qp = random_qp_batch(batch=B, n=32, m=33, seed=seed, dtype=jnp.float32)
+            jax.block_until_ready(qp)
+            t0 = time.perf_counter()
+            qres = qsolve(qp)
+            _ = np.asarray(qres.info.status)
+            qtimes.append(time.perf_counter() - t0)
+        t_qp = min(qtimes)
+        log(
+            f"qp batch: B={B} n=32 m=33 time={t_qp*1e3:.1f}ms -> {B/t_qp:.0f} qp/s; "
+            f"solved={float(np.mean(np.asarray(qres.info.status)==0)):.3f}"
+        )
+        recap(f"qp n32 B4096 {B/t_qp:.0f}/s")
+
+    with leg("families"):
+        # ---- supplementary: OSQP-paper families (untuned breadth) ---------------
+        # The five problem classes the reference re-implements OSQP for
+        # (reference README.md:6; OSQP paper §5): random QP, lasso, huber,
+        # SVM, portfolio — generated ON DEVICE (models/families.py device
+        # twins), solved on the flagship kernel tier at the reference's own
+        # 1e-4 tolerance, statuses certified against TRUE residuals
+        # (polish-refreshed), accuracy against the long-double C++ oracle
+        # (runtime/native.py) on a 128-problem subsample.  One shared,
+        # UNTUNED config for every row: Ruiz scaling=10 (the OSQP capability
+        # the reference dropped; without it huber/portfolio stall at any
+        # budget — measured round 4), max_iter=300 fixed schedule (the
+        # slowest class, portfolio, certifies 1.000 at 300 vs 0.988 at 250),
+        # polish.
+        from sqp_solver_tpu.models import families as fam
+        from sqp_solver_tpu.runtime.native import (
+            native_available,
+            native_qp_solve_batch,
+        )
+
+        Bf = 1024
+        fam_settings = QPSettings(
+            alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=300,
+            check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
+            polish=True, scaling=10, schedule="fixed",
+        )
+        fam_rows = (
+            ("random n=32 m=48", lambda k: fam.random_qp_batch_device(k, Bf, 32, 48)),
+            ("lasso nf=8 ns=16", lambda k: fam.lasso_qp_batch_device(k, Bf, 8, 16)),
+            ("huber nf=8 ns=16", lambda k: fam.huber_qp_batch_device(k, Bf, 8, 16)),
+            ("svm nf=8 ns=16", lambda k: fam.svm_qp_batch_device(k, Bf, 8, 16)),
+            ("portfolio na=16 nk=4", lambda k: fam.portfolio_qp_batch_device(k, Bf, 16, 4)),
+        )
+        oracle_settings = QPSettings(
+            eps_abs=1e-10, eps_rel=1e-10, max_iter=20000, adaptive_rho=True
+        )
+        fam_rc = []
+        for fname, build_f in fam_rows:
+            solve_f = jax.jit(
+                lambda key, b=build_f: qp_solve_batch(b(key), fam_settings, impl="kernel")
+            )
+            _ = np.asarray(solve_f(jax.random.PRNGKey(0)).info.status)
+            tf = []
+            for rep in (1, 2, 3):
+                key = jax.random.PRNGKey(salt + 512 + rep)
+                jax.block_until_ready(key)
+                t0 = time.perf_counter()
+                rf = solve_f(key)
+                _ = np.asarray(rf.info.status)
+                tf.append(time.perf_counter() - t0)
+            solved_f = float(np.mean(np.asarray(rf.info.status) == 0))
+            if native_available():
+                key_a = jax.random.PRNGKey(salt + 999)
+                prob_f = jax.jit(
+                    lambda k, b=build_f: jax.tree_util.tree_map(
+                        lambda x: x[:128], b(k)
+                    )
+                )(key_a)
+                rf_a = solve_f(key_a)
+                x_or, _, st_or, _ = native_qp_solve_batch(
+                    np.asarray(prob_f.P, np.float64), np.asarray(prob_f.q, np.float64),
+                    np.asarray(prob_f.A, np.float64), np.asarray(prob_f.l, np.float64),
+                    np.asarray(prob_f.u, np.float64), oracle_settings,
+                )
+                ok_or = st_or == 0
+                err_f = float(
+                    np.percentile(
+                        np.abs(np.asarray(rf_a.x, np.float64)[:128][ok_or] - x_or[ok_or]),
+                        99,
+                    )
+                )
+                acc = f"err_p99_vs_long_double_oracle={err_f:.2e} (oracle solved {int(ok_or.sum())}/128)"
+            else:
+                acc = "long-double oracle unavailable on this host"
+            log(
+                f"family {fname}: B={Bf} time={min(tf)*1e3:.1f}ms -> "
+                f"{Bf/min(tf):.0f} qp/s; solved={solved_f:.3f} @eps=1e-4; {acc}"
+            )
+            short = fname.split()[0]
+            err_txt = f" e={err_f:.0e}" if native_available() else ""
+            fam_rc.append(f"{short}:s={solved_f:.2f}{err_txt}")
+        recap("fam " + " ".join(fam_rc))
+
+    with leg("exp-chain"):
+        # ---- supplementary: multi-outer NLP (exp-chain, ~25 outers) -------------
+        # The sphere-cap headline converges in 2-3 damped Newton outers; this
+        # row is the honest multi-outer complement: a strictly-convex
+        # exponential-chain NLP (models/benchmark.py) whose damped-BFGS path
+        # needs ~20-35 outer iterations from the cold start.  Full fixed
+        # budget of 36 outers, statuses from the solver, certification from
+        # an INDEPENDENT f64 evaluation of the exact KKT residuals.
+        from sqp_solver_tpu.models.benchmark import (
+            exp_chain_kkt_residuals,
+            exp_chain_nlp_batch_device,
+        )
+
+        Be, Ne = 1024, 32
+        settings_exp = SQPSettings(
+            max_iter=36, eps_prim=1e-3, eps_dual=1e-3, termination="kkt",
+            schedule="fixed", qp_impl="kernel", polish=True, polish_passes=3,
+            line_search_max_iter=6,
+            qp=QPSettings(
+                alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=50,
+                check_termination=10, warm_start=True, adaptive_rho=True,
+                adaptive_rho_interval=50, schedule="fixed",
+            ),
+        )
+
+        def run_exp(key):
+            problem, x0 = exp_chain_nlp_batch_device(key, Be, Ne, jnp.float32)
+            return sqp_solve_batch(problem, x0, None, settings_exp, impl="fused")
+
+        solve_exp = jax.jit(run_exp)
+        _ = np.asarray(solve_exp(jax.random.PRNGKey(0)).info.status)
+        te = []
+        for rep in (1, 2, 3):
+            key = jax.random.PRNGKey(salt + 2048 + rep)
+            jax.block_until_ready(key)
+            t0 = time.perf_counter()
+            re_ = solve_exp(key)
+            _ = np.asarray(re_.info.status)
+            te.append(time.perf_counter() - t0)
+        key_e = jax.random.PRNGKey(salt + 2060)
+        prob_e, _ = jax.jit(
+            lambda k: exp_chain_nlp_batch_device(k, Be, Ne, jnp.float32)
+        )(key_e)
+        re_a = solve_exp(key_e)
+        pv_e, dr_e = exp_chain_kkt_residuals(prob_e, re_a.x, re_a.lam)
+        it_e = np.asarray(re_.info.iter)
+        cert_e = float(np.mean((pv_e <= 1e-4) & (dr_e <= 1e-4)))
+        log(
+            f"multi-outer NLP (exp-chain): n={Ne} B={Be} time={min(te)*1e3:.0f}ms -> "
+            f"{Be/min(te):.0f} solves/s; solved={float(np.mean(np.asarray(re_.info.status)==0)):.3f} "
+            f"iters p50={np.percentile(it_e,50):.0f} p99={np.percentile(it_e,99):.0f}; "
+            f"f64 KKT cert @1e-4: {cert_e:.3f} (dr_p99={np.percentile(dr_e,99):.1e})"
+            f"  [the >=8-outer row: full 36-outer fixed budget, no per-family tuning]"
+        )
+        recap(f"expchain36out {Be/min(te):.0f}/s cert={cert_e:.2f}")
+
+    with leg("qp-diff"):
+        # ---- supplementary: differentiable QP layer (fwd + bwd on TPU) ----------
+        # OptNet-style implicit differentiation THROUGH the solver
+        # (qp/diff.py) — the adjoint KKT solve rides the whole-pass Pallas
+        # polish kernel on TPU batches.  Timed: forward solve alone vs
+        # forward + backward (gradients to every problem leaf P, q, A, l, u).
+        from sqp_solver_tpu.qp.diff import qp_solve_diff
+
+        Bd, Nd = 1024, 128
+        diff_settings = QPSettings(
+            alpha=1.6, eps_abs=1e-5, eps_rel=1e-5, max_iter=200,
+            check_termination=25, adaptive_rho=True, adaptive_rho_interval=50,
+            polish=True, schedule="fixed",
+        )
+        build_d = lambda k: fam.random_qp_batch_device(k, Bd, Nd, Nd)
+
+        def fwd_only(key):
+            x = qp_solve_diff(build_d(key), diff_settings, "fused")
+            return jnp.sum(x * x)
+
+        def fwd_bwd(key):
+            qp_d = build_d(key)
+            loss, grads = jax.value_and_grad(
+                lambda q: jnp.sum(qp_solve_diff(q, diff_settings, "fused") ** 2)
+            )(qp_d)
+            # tiny scalar that depends on EVERY gradient leaf: forces the
+            # backward pass inside the timed region
+            gsum = (
+                jnp.sum(jnp.abs(grads.q)) + jnp.sum(jnp.abs(grads.P))
+                + jnp.sum(jnp.abs(grads.A)) + jnp.sum(jnp.abs(grads.l))
+                + jnp.sum(jnp.abs(grads.u))
+            )
+            return loss, gsum
+
+        f_fwd = jax.jit(fwd_only)
+        f_fb = jax.jit(fwd_bwd)
+        _ = np.asarray(f_fwd(jax.random.PRNGKey(0)))
+        _ = np.asarray(f_fb(jax.random.PRNGKey(0))[1])
+        td_f, td_b = [], []
+        for rep in (1, 2, 3):
+            key = jax.random.PRNGKey(salt + 4096 + rep)
+            jax.block_until_ready(key)
+            t0 = time.perf_counter()
+            _ = np.asarray(f_fwd(key))
+            td_f.append(time.perf_counter() - t0)
+            key2 = jax.random.PRNGKey(salt + 4200 + rep)
+            jax.block_until_ready(key2)
+            t0 = time.perf_counter()
+            lo_, gs_ = f_fb(key2)
+            _ = np.asarray(gs_)
+            td_b.append(time.perf_counter() - t0)
+        gs_f = float(np.asarray(gs_))
+        # relay wall time varies ~20% between dispatches; a small backward
+        # increment can be swamped by that noise (negative deltas are noise)
+        bwd_ms = (min(td_b) - min(td_f)) * 1e3
+        bwd_note = (
+            f"backward adds {bwd_ms:.0f}ms"
+            if bwd_ms >= 0
+            else "backward cost below relay timing noise (~20%)"
+        )
+        log(
+            f"differentiable QP (qp_solve_diff): B={Bd} n={Nd} forward={min(td_f)*1e3:.0f}ms, "
+            f"forward+backward={min(td_b)*1e3:.0f}ms ({bwd_note}; adjoint rides "
+            f"the Pallas polish kernel); grad-magnitude sum={gs_f:.3e} (finite)"
+        )
+        recap(
+            f"qpdiff fwd={min(td_f)*1e3:.0f}ms f+b={min(td_b)*1e3:.0f}ms"
+        )
+
+    with leg("anderson"):
+        # ---- supplementary: Anderson acceleration (fused tier) ------------------
+        # demonstrated where it matters: tight tolerances at fixed rho, where
+        # plain ADMM's linear tail is long (at loose eps the solve finishes in
+        # ~3 chunks and AA has no room to build its extrapolation window)
+        qp_tight = QPSettings(
+            alpha=1.6, eps_abs=1e-6, eps_rel=1e-6, max_iter=2000,
+            check_termination=25, schedule="fixed",
+        )
+        import dataclasses as _dc2
+
+        # in-kernel AA on the flagship whole-solve kernel tier (round 3)
+        qp_aa = _dc2.replace(qp_tight, acceleration="anderson")
+        asolve = jax.jit(lambda p: qp_solve_batch(p, qp_aa, impl="kernel"))
+        psolve = jax.jit(lambda p: qp_solve_batch(p, qp_tight, impl="kernel"))
+        _ = np.asarray(asolve(qp0).x)
+        _ = np.asarray(psolve(qp0).x)
+        qp2 = random_qp_batch(batch=B, n=32, m=33, seed=3, dtype=jnp.float32)
+        jax.block_until_ready(qp2)
+        ra = asolve(qp2)
+        rp = psolve(qp2)
+        it_a = float(np.mean(np.asarray(ra.info.iter)))
+        it_p = float(np.mean(np.asarray(rp.info.iter)))
+        log(
+            f"anderson acceleration (kernel tier, in-kernel AA): mean iters "
+            f"{it_p:.0f} -> {it_a:.0f} ({it_p/max(it_a,1e-9):.2f}x); solved "
+            f"{float(np.mean(np.asarray(ra.info.status)==0)):.3f}"
+        )
+        recap(f"AA iters {it_p:.0f}->{it_a:.0f}")
+
+    emit_recap(headline_payload)
 
 
 if __name__ == "__main__":

@@ -17,8 +17,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-import jax.numpy as jnp
+from _common import example_setup
+
+_quick = example_setup()  # platform re-assert + smoke-mode flag
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
 
@@ -30,7 +34,7 @@ import dataclasses  # noqa: E402
 def main():
     # SQP_EXAMPLE_QUICK=1 (the test-suite smoke mode) shrinks the descent
     # budget; the full demo runs 300 Adam steps
-    quick = os.environ.get("SQP_EXAMPLE_QUICK") == "1"
+    quick = _quick
     B, n, m = 8, 6, 9
     qp = random_qp_batch(batch=B, n=n, m=m, seed=3, dtype=jnp.float64)
     # widen the boxes so most rows are inactive at the optimum: x*(q) is

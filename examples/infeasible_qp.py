@@ -19,12 +19,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax.numpy as jnp
 import numpy as np
 
+from _common import example_setup
 from sqp_solver_tpu.qp import QPSettings, QPStatus, QuadraticProblem, qp_solve
 from sqp_solver_tpu.parallel.batch import qp_solve_batch
 
 
 def main():
-    settings = QPSettings(eps_abs=1e-4, eps_rel=1e-4, max_iter=1000,
+    quick = example_setup()  # platform re-assert + smoke-mode flag
+    # detection fires within a few termination checks either way; quick
+    # mode just caps the budget an undetected case could burn
+    settings = QPSettings(eps_abs=1e-4, eps_rel=1e-4,
+                          max_iter=200 if quick else 1000,
                           check_termination=25, adaptive_rho=True)
 
     # --- primal infeasible: x <= -1 AND x >= 1 --------------------------

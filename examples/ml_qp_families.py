@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from _common import example_setup
 from sqp_solver_tpu.models.families import (
     huber_qp_batch,
     lasso_qp_batch,
@@ -29,15 +30,16 @@ from sqp_solver_tpu.qp import QPSettings, QPStatus
 
 
 def main():
+    quick = example_setup()  # platform re-assert + smoke-mode flag
     settings = QPSettings(
         eps_abs=1e-4,
         eps_rel=1e-4,
-        max_iter=2000,
+        max_iter=500 if quick else 2000,
         adaptive_rho=True,
         scaling=10,  # Ruiz equilibration (OSQP default; reference lacks it)
         polish=True,  # active-set re-solve with ideal-operator refinement
     )
-    B = 64
+    B = 16 if quick else 64
     fams = [
         ("lasso", lambda: lasso_qp_batch(B, n_features=12, n_samples=24, seed=0)),
         ("huber", lambda: huber_qp_batch(B, n_features=12, n_samples=24, seed=1)),

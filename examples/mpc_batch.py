@@ -19,12 +19,15 @@ import time
 
 import numpy as np
 
+from _common import example_setup
+
 
 def main():
+    quick = example_setup()  # platform re-assert + smoke-mode flag
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--batch", type=int, default=512)
-    ap.add_argument("--horizon", type=int, default=16)
+    ap.add_argument("--steps", type=int, default=3 if quick else 10)
+    ap.add_argument("--batch", type=int, default=64 if quick else 512)
+    ap.add_argument("--horizon", type=int, default=8 if quick else 16)
     args = ap.parse_args()
 
     import jax

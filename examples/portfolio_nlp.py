@@ -18,11 +18,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from _common import example_setup
+
 
 def main():
+    quick = example_setup()  # platform re-assert + smoke-mode flag
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
-    ap.add_argument("--assets", type=int, default=32)
+    ap.add_argument("--batch", type=int, default=32 if quick else 256)
+    ap.add_argument("--assets", type=int, default=16 if quick else 32)
     args = ap.parse_args()
 
     import jax
@@ -57,7 +60,8 @@ def main():
         constraint=constraint,
     )
     settings = SQPSettings(
-        max_iter=25, eps_prim=1e-2, eps_dual=1e-2, termination="kkt",
+        max_iter=12 if quick else 25,
+        eps_prim=1e-2, eps_dual=1e-2, termination="kkt",
         schedule="fixed", polish=True,
         qp=QPSettings(alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=150,
                       check_termination=25, warm_start=True, adaptive_rho=True,

@@ -77,7 +77,8 @@ def kern_args(qp, sv):
     pdt, pet, At, qt, lt, ut = prologue(qp, sv)
     zt = jnp.zeros((m, B), jnp.float32)
     xt = jnp.zeros((n, B), jnp.float32)
-    return pdt, pet, At, qt, lt, ut, xt, zt, zt
+    mskt = jnp.zeros((8, B), jnp.float32).at[2].set(1.0)
+    return pdt, pet, At, qt, lt, ut, mskt, xt, zt, zt
 
 
 kw = dict(
@@ -105,7 +106,7 @@ def k2(qp, sv):
     # chain: second solve warm-started from the first (data dependency
     # forces sequential execution; same operator work)
     x2, z2, y2, st2 = _qp_btd_call(a[0], a[1], a[2], a[3] + 1e-6, a[4], a[5],
-                                   x, z, y, **kw)
+                                   a[6], x, z, y, **kw)
     return jnp.sum(st[:, :1]) + jnp.sum(st2[:, :1])
 
 

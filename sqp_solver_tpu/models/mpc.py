@@ -21,6 +21,7 @@ __all__ = [
     "mpc_qp_batch",
     "mpc_qp_stagewise_batch",
     "mpc_qp_coupled_batch",
+    "mpc_nlp_stagewise_batch",
     "random_qp_batch",
 ]
 
@@ -315,3 +316,176 @@ def random_qp_batch(
         l=jnp.asarray(l, dtype=dtype),
         u=jnp.asarray(u, dtype=dtype),
     )
+
+
+def mpc_nlp_stagewise_batch(
+    batch: int,
+    horizon: int = 48,
+    dt: float = 0.1,
+    speed: float = 1.0,
+    omega_max: float = 2.0,
+    p_max: float = 5.0,
+    theta_max: float = 4.0,
+    q_weight: float = 1.0,
+    r_weight: float = 0.1,
+    th_weight: float = 0.01,
+    seed: int = 0,
+    dtype=jnp.float32,
+):
+    """Stage-wise NONLINEAR MPC batch — the structured-SQP benchmark NLP.
+
+    Unicycle (Dubins car) steered to a per-problem goal: state
+    x = (px, py, theta), control u = omega (turn rate), constant forward
+    speed.  Decision variable z = [(u_0, x_1), ..., (u_{T-1}, x_T)] in
+    per-stage blocks of size nu + nx = 4; x_0 enters through ``params``.
+
+    Constraints (m = 7 T rows):
+      * dynamics equalities  x_{k+1} - x_k - dt (v cos th_k, v sin th_k,
+        u_k) = 0   (3 T rows, nonlinear in th_k),
+      * turn-rate box |u_k| <= omega_max (T rows),
+      * state box on (px, py, theta) (3 T rows).
+
+    Objective: 0.5 sum_k q ||p_k - goal||^2 + r u_k^2 + w th_k^2 — every
+    term touches one stage, so the TRUE Lagrangian Hessian is
+    block-diagonal in the stage blocks and every Schur matrix
+    B + sigma I + J' rho J is block-tridiagonal at block size 4: solve
+    with ``SQPSettings(qp_impl="kernel_btd", qp=QPSettings(block_size=4,
+    ...))``.  This is the nonlinear counterpart of
+    :func:`mpc_qp_stagewise_batch` (the reference exercises only dense
+    NLPs — ``tests/sqp_test.cpp`` — so this family is capability beyond
+    parity, targeted at the sparse ambition of
+    ``include/solvers/qp.hpp:126-129``).
+
+    Returns ``(problem, x_init, block_size)`` with ``x_init`` the
+    dynamically feasible zero-control rollout (B, 4 T).
+    """
+    nx, nu = 3, 1
+    b = nx + nu
+    T = horizon
+    n = b * T
+    v = speed
+
+    rng = np.random.default_rng(seed)
+    x0 = rng.uniform(-1.0, 1.0, size=(batch, nx))
+    goal = rng.uniform(-2.0, 2.0, size=(batch, 2))
+    params = jnp.asarray(np.concatenate([x0, goal], axis=1), dtype=dtype)
+
+    def objective(z, p):
+        goal_p = p[3:5]
+        Z = z.reshape(T, b)
+        u_ = Z[:, 0]
+        X = Z[:, 1:]
+        pos = X[:, :2]
+        return 0.5 * (
+            q_weight * jnp.sum((pos - goal_p[None, :]) ** 2)
+            + r_weight * jnp.sum(u_**2)
+            + th_weight * jnp.sum(X[:, 2] ** 2)
+        )
+
+    def constraint(z, p):
+        x0_p = p[:3]
+        Z = z.reshape(T, b)
+        u_ = Z[:, 0]
+        X = Z[:, 1:]                                       # x_1 .. x_T
+        Xprev = jnp.concatenate([x0_p[None, :], X[:-1]], axis=0)
+        th = Xprev[:, 2]
+        step = jnp.stack([v * jnp.cos(th), v * jnp.sin(th), u_], axis=1)
+        dyn = (X - Xprev - dt * step).reshape(-1)          # (3 T,)
+        return jnp.concatenate([dyn, u_, X.reshape(-1)])
+
+    m = 3 * T + T + 3 * T
+    l = np.zeros((batch, m))
+    u = np.zeros((batch, m))
+    l[:, 3 * T : 4 * T] = -omega_max
+    u[:, 3 * T : 4 * T] = omega_max
+    xlo = np.tile([-p_max, -p_max, -theta_max], T)
+    xhi = np.tile([p_max, p_max, theta_max], T)
+    l[:, 4 * T :] = xlo
+    u[:, 4 * T :] = xhi
+
+    from sqp_solver_tpu.sqp.types import NonlinearProblem
+
+    problem = NonlinearProblem(
+        l=jnp.asarray(l, dtype=dtype),
+        u=jnp.asarray(u, dtype=dtype),
+        params=params,
+        objective=objective,
+        constraint=constraint,
+    )
+
+    # zero-control rollout: dynamically feasible start
+    X_init = np.zeros((batch, T, b))
+    xk = x0.copy()
+    for k in range(T):
+        xk = xk + dt * np.stack(
+            [v * np.cos(xk[:, 2]), v * np.sin(xk[:, 2]), np.zeros(batch)],
+            axis=1,
+        )
+        X_init[:, k, 1:] = xk
+    x_init = jnp.asarray(X_init.reshape(batch, n), dtype=dtype)
+    return problem, x_init, b
+
+
+def mpc_nlp_kkt_residuals(problem, x, lam, horizon, dt=0.1, speed=1.0,
+                          q_weight=1.0, r_weight=0.1, th_weight=0.01):
+    """Float64 host-side KKT residuals for :func:`mpc_nlp_stagewise_batch`.
+
+    Returns ``(primal_viol, dual_res)`` per batch element — the exact
+    objective gradient plus J'lam with the hand-derived unicycle Jacobian,
+    evaluated in numpy float64 with no solver code on the path: an
+    independent certification of an f32 solve (the same pattern as
+    ``models.benchmark.exp_chain_kkt_residuals``).  Pass the generator's
+    non-default weights through if overridden.
+    """
+    T = horizon
+    b = 4
+    x = np.asarray(x, np.float64)
+    lam = np.asarray(lam, np.float64)
+    p = np.asarray(problem.params, np.float64)
+    B = x.shape[0]
+    x0_, goal = p[:, :3], p[:, 3:5]
+    v = speed
+
+    Z = x.reshape(B, T, b)
+    u_ = Z[:, :, 0]                    # (B, T)
+    X = Z[:, :, 1:]                    # (B, T, 3) = x_1 .. x_T
+    Xprev = np.concatenate([x0_[:, None, :], X[:, :-1]], axis=1)
+    th_prev = Xprev[:, :, 2]
+
+    # objective gradient in z layout
+    g = np.zeros_like(Z)
+    g[:, :, 0] = r_weight * u_
+    g[:, :, 1:3] = q_weight * (X[:, :, :2] - goal[:, None, :])
+    g[:, :, 3] = th_weight * X[:, :, 2]
+
+    lam_d = lam[:, : 3 * T].reshape(B, T, 3)
+    lam_u = lam[:, 3 * T : 4 * T]
+    lam_x = lam[:, 4 * T :].reshape(B, T, 3)
+
+    s = g.copy()
+    # dynamics rows k: +I on x_{k+1}, -I - dt D_k on x_k (decision var for
+    # k >= 1), -dt e3 on u_k; D_k has only the theta column (unicycle)
+    s[:, :, 1:] += lam_d + lam_x
+    s[:, :, 0] += -dt * lam_d[:, :, 2] + lam_u
+    contrib = -lam_d[:, 1:, :].copy()        # onto x_k, k = 1..T-1
+    contrib[:, :, 2] -= dt * v * (
+        -np.sin(th_prev[:, 1:]) * lam_d[:, 1:, 0]
+        + np.cos(th_prev[:, 1:]) * lam_d[:, 1:, 1]
+    )
+    s[:, :-1, 1:] += contrib
+    dual_res = np.abs(s.reshape(B, -1)).max(axis=1)
+
+    # primal violation: dynamics equality + boxes, all f64
+    step = np.stack(
+        [v * np.cos(th_prev), v * np.sin(th_prev), u_], axis=2
+    )
+    dyn = X - Xprev - dt * step
+    cv = np.concatenate(
+        [dyn.reshape(B, -1), u_, X.reshape(B, -1)], axis=1
+    )
+    lo = np.asarray(problem.l, np.float64)
+    hi = np.asarray(problem.u, np.float64)
+    primal_viol = np.maximum(
+        np.maximum(cv - hi, lo - cv), 0.0
+    ).max(axis=1)
+    return primal_viol, dual_res

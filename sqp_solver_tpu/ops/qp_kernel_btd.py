@@ -73,7 +73,7 @@ from sqp_solver_tpu.qp.types import (
     QuadraticProblem,
 )
 
-__all__ = ["qp_solve_kernel_btd", "btd_internal_block"]
+__all__ = ["qp_solve_kernel_btd", "btd_step_kernel", "btd_internal_block"]
 
 
 def btd_internal_block(b: int) -> int:
@@ -100,7 +100,7 @@ def _btd_lane_tile(n: int, m: int, bb: int) -> int:
 
 
 def _qp_btd_kernel(
-    pd_ref, pe_ref, A_ref, q_ref, l_ref, u_ref, x_ref, z_ref, y_ref,
+    pd_ref, pe_ref, A_ref, q_ref, l_ref, u_ref, msk_ref, x_ref, z_ref, y_ref,
     xo_ref, zo_ref, yo_ref, st_ref,
     li_ref, f_ref, stg_ref, w_ref,
     *, n, m, bb, sigma, alpha, rho0, eps_abs, eps_rel,
@@ -113,6 +113,13 @@ def _qp_btd_kernel(
     u = u_ref[:]          # (m, TL)
     TL = q.shape[-1]
     T = n // bb
+    # msk rows (f32, same convention as the dense SQP-step kernel):
+    # 2 = SQP-active (inactive lanes enter _admm_core done and freeze),
+    # 3 = carried-in rho (> 0 overrides rho0; lets an SQP outer iteration
+    # continue from the rho the previous subproblem adapted to)
+    msk = msk_ref[:]      # (8, TL)
+    act0 = msk[2:3]
+    rho_in = msk[3:4]
 
     # A is consumed through COLUMN-CHUNKED ref reads, never materialized
     # as one value: an (m, n, TL) value alive across the epoch/chunk
@@ -272,10 +279,14 @@ def _qp_btd_kernel(
     equality = (u - l) < RHO_TOL
 
     zero_row = jnp.zeros((1, TL), dtype)
-    rho_row = rho0 + 0.0 * q[0:1, :]  # lane-varying init (Mosaic layout)
+    rho_base = rho0 + 0.0 * q[0:1, :]  # lane-varying init (Mosaic layout)
+    # arithmetic select (rho_in is either 0 or a positive rho): a select_n
+    # against the replicated rho_base can trip Mosaic relayout legalization
+    use_in = (rho_in > 0.0).astype(dtype)
+    rho_row = rho_base + use_in * (rho_in - rho_base)
     ec = _admm_core(
         None, None, q, l, u, x_ref[:], z_ref[:], y_ref[:],
-        done=zero_row,
+        done=1.0 - act0,
         failv=zero_row,
         rho=rho_row,
         minv_ref=None,
@@ -294,8 +305,11 @@ def _qp_btd_kernel(
     xo_ref[:] = x
     zo_ref[:] = z
     yo_ref[:] = y
+    # row 8: the rho the final factor was computed under (pending adaptive
+    # updates adopt only at factorization time) — feed back as msk row 3
+    # when re-solving with carried rho (the SOC path of the btd SQP tier)
     st_ref[:] = jnp.concatenate(
-        [done, itc, rp, rd, failv, rho_upd, rho_est, ec[15]],
+        [done, itc, rp, rd, failv, rho_upd, rho_est, ec[15], rho],
         axis=0,
     )
 
@@ -310,7 +324,7 @@ def _qp_btd_kernel(
     ),
 )
 def _qp_btd_call(
-    pdt, pet, At, qt, lt, ut, xt, zt, yt, *, n, m, bb, sigma, alpha, rho0,
+    pdt, pet, At, qt, lt, ut, mskt, xt, zt, yt, *, n, m, bb, sigma, alpha, rho0,
     eps_abs, eps_rel, n_epochs, chunks_per_epoch, seg, adaptive_rho,
     adaptive_rho_tolerance, lane_tile, interpret, check_infeas, eps_pinf,
     eps_dinf, use_aa, aa_mem,
@@ -338,13 +352,13 @@ def _qp_btd_call(
         kernel,
         grid=grid,
         in_specs=[spec(n, bb), spec(n, bb), spec(m, n), spec(n), spec(m),
-                  spec(m), spec(n), spec(m), spec(m)],
-        out_specs=(spec(n), spec(m), spec(m), spec(8)),
+                  spec(m), spec(8), spec(n), spec(m), spec(m)],
+        out_specs=(spec(n), spec(m), spec(m), spec(9)),
         out_shape=(
             jax.ShapeDtypeStruct((n, B), qt.dtype),
             jax.ShapeDtypeStruct((m, B), qt.dtype),
             jax.ShapeDtypeStruct((m, B), qt.dtype),
-            jax.ShapeDtypeStruct((8, B), qt.dtype),
+            jax.ShapeDtypeStruct((9, B), qt.dtype),
         ),
         scratch_shapes=[
             pltpu.VMEM((n, bb, lane_tile), qt.dtype),  # L_k^-1 blocks
@@ -360,7 +374,7 @@ def _qp_btd_call(
             bytes_accessed=B * (m * n + 4 * n * bb) * 4,
             transcendentals=B * n * n_epochs,
         ),
-    )(pdt, pet, At, qt, lt, ut, xt, zt, yt)
+    )(pdt, pet, At, qt, lt, ut, mskt, xt, zt, yt)
 
 
 def _extract_band(P, bb):
@@ -479,6 +493,12 @@ def qp_solve_kernel_btd(
     qt, lt, ut, xt, zt, yt = (
         jnp.moveaxis(v, 0, -1) for v in (q, l, u, x0, z0, y0)
     )
+    # plain QP solve: every lane active (msk row 2), no carried rho (row 3)
+    mskt = jnp.concatenate(
+        [jnp.zeros((2, B), dtype), jnp.ones((1, B), dtype),
+         jnp.zeros((5, B), dtype)],
+        axis=0,
+    )
 
     def call_one(*a):
         return _qp_btd_call(
@@ -497,7 +517,7 @@ def qp_solve_kernel_btd(
             aa_mem=int(settings.anderson_memory),
         )
 
-    args = (pdt, pet, At, qt, lt, ut, xt, zt, yt)
+    args = (pdt, pet, At, qt, lt, ut, mskt, xt, zt, yt)
     if lane_tile < 128 and not interpret:
         x, z, y, st = _chunked_lanes(call_one, args, B, lane_tile)
     else:
@@ -538,3 +558,91 @@ def qp_solve_kernel_btd(
 
         result = polish_qp(qp, result, settings)
     return result
+
+
+def btd_step_kernel(
+    pdt, pet, Jt, gt, lt, ut, mskt, xt, zt, yt,
+    settings: QPSettings,
+    interpret: bool = False,
+):
+    """Warm-started structured QP solve for one SQP outer iteration,
+    transposed layout — the inner-QP counterpart of
+    :func:`sqp_solver_tpu.ops.qp_kernel.sqp_step_kernel` for
+    block-tridiagonal subproblems (stage-wise MPC chains).
+
+    Inputs: pdt/pet (n, bb, B) band of the Hessian estimate (rows
+    [k bb, (k+1) bb) hold B_{k,k} / B_{k+1,k}; entries outside the band
+    are ignored by contract), Jt (m, n, B) Jacobian, gt (n, B) gradient,
+    lt/ut (m, B) shifted bounds, mskt (8, B) f32 rows [_, _, active,
+    rho-in, 0...], xt/zt/yt warm-start iterates.  Unlike the dense step
+    kernel the quasi-Newton update runs at the XLA level (a per-stage
+    block-diagonal damped BFGS is O(n bb B) — fusing it would buy
+    nothing), so msk rows 0-1 are unused here.  Returns (p, z, lam, st)
+    with st rows [done, iter, res_prim, res_dual, fail, rho_updates,
+    rho_estimate, infeas, rho_of_final_factor].  Row 8 is the rho the
+    last block-Thomas factor was computed under: feed it back as msk
+    row 3 on a re-solve that should skip re-adaptation from rho0 (the
+    SOC path — the factor itself lives in kernel scratch and is re-built
+    at O(T bb^3), cheap where the dense kernel's reuse saved O(n^3)).
+
+    n must be a multiple of the internal block ``btd_internal_block(
+    settings.block_size)`` — the structured SQP tier carries its band in
+    that layout end-to-end.  B is padded to the lane tile internally
+    (padded lanes inactive via msk).
+    """
+    if jax.default_backend() != "tpu":
+        interpret = True
+    n = gt.shape[0]
+    m = lt.shape[0]
+    B = gt.shape[-1]
+    bb = btd_internal_block(int(settings.block_size))
+    if n % bb:
+        raise ValueError(
+            f"btd_step_kernel: n={n} not a multiple of the internal "
+            f"block {bb} (declared block_size={settings.block_size})"
+        )
+
+    seg = settings.check_termination if settings.check_termination > 0 else settings.max_iter
+    interval = settings.adaptive_rho_interval if settings.adaptive_rho else settings.max_iter
+    chunks_per_epoch = max(1, -(-min(interval, settings.max_iter) // seg))
+    n_epochs = max(1, -(-settings.max_iter // (chunks_per_epoch * seg)))
+
+    lane_tile = _btd_lane_tile(n, m, bb)
+    pad = (-B) % lane_tile
+    args = (pdt, pet, Jt, gt, lt, ut, mskt, xt, zt, yt)
+    if pad:
+        # pad problems on the last axis; padded lanes are inactive
+        # (msk row 2 = 0 -> frozen in _admm_core) and their zero band
+        # factors as sigma I
+        args = tuple(
+            jnp.concatenate(
+                [v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)], axis=-1
+            )
+            for v in args
+        )
+
+    def call_one(*a):
+        return _qp_btd_call(
+            *a,
+            n=n, m=m, bb=bb, sigma=float(settings.sigma),
+            alpha=float(settings.alpha), rho0=float(settings.rho),
+            eps_abs=float(settings.eps_abs), eps_rel=float(settings.eps_rel),
+            n_epochs=n_epochs, chunks_per_epoch=chunks_per_epoch, seg=seg,
+            adaptive_rho=bool(settings.adaptive_rho),
+            adaptive_rho_tolerance=float(settings.adaptive_rho_tolerance),
+            lane_tile=lane_tile, interpret=interpret,
+            check_infeas=False,  # SQP tiers: disabled by construction
+            eps_pinf=float(settings.eps_pinf),
+            eps_dinf=float(settings.eps_dinf),
+            use_aa=settings.acceleration == "anderson",
+            aa_mem=int(settings.anderson_memory),
+        )
+
+    Bp = args[3].shape[-1]  # padded batch
+    if lane_tile < 128 and not interpret:
+        out = _chunked_lanes(call_one, args, Bp, lane_tile)
+    else:
+        out = call_one(*args)
+    if pad:
+        out = tuple(v[..., :B] for v in out)
+    return out

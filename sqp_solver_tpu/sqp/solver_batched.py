@@ -86,6 +86,12 @@ def sqp_solve_fused(
         from sqp_solver_tpu.sqp.solver_kernel import sqp_solve_kernel_fused
 
         return sqp_solve_kernel_fused(problem, x0, lam0, settings)
+    if settings.qp_impl == "kernel_btd":
+        # structured tier: block-diagonal damped BFGS + block-Thomas
+        # whole-solve kernel for stage-wise (block-tridiagonal) NLPs
+        from sqp_solver_tpu.sqp.solver_btd import sqp_solve_kernel_btd
+
+        return sqp_solve_kernel_btd(problem, x0, lam0, settings)
     if settings.qp.linear_solver != "schur_cholesky":
         raise ValueError("sqp_solve_fused requires qp.linear_solver='schur_cholesky'")
     dtype = x0.dtype

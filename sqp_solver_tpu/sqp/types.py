@@ -201,8 +201,13 @@ class SQPSettings:
             raise ValueError(
                 f"schedule must be 'early_exit' or 'fixed', got {self.schedule}"
             )
-        if self.qp_impl not in ("fused", "kernel"):
-            raise ValueError(f"qp_impl must be 'fused' or 'kernel', got {self.qp_impl}")
+        if self.qp_impl not in ("fused", "kernel", "kernel_btd"):
+            raise ValueError(
+                "qp_impl must be 'fused', 'kernel' or 'kernel_btd', "
+                f"got {self.qp_impl}"
+            )
+        if self.qp_impl == "kernel_btd" and self.qp.block_size <= 0:
+            raise ValueError("qp_impl='kernel_btd' requires qp.block_size > 0")
         self.qp.validate()
 
 

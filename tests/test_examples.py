@@ -16,7 +16,8 @@ import pytest
 
 _EXAMPLES_DIR = os.path.join(os.path.dirname(__file__), os.pardir, "examples")
 _EXAMPLES = sorted(
-    f for f in os.listdir(_EXAMPLES_DIR) if f.endswith(".py")
+    f for f in os.listdir(_EXAMPLES_DIR)
+    if f.endswith(".py") and not f.startswith("_")  # _common.py is a helper
 )
 
 
