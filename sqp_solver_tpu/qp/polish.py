@@ -45,7 +45,7 @@ from sqp_solver_tpu.qp.types import QPResult, QPSettings, QuadraticProblem
 
 __all__ = [
     "polish_qp", "kkt_solve_schur_refined", "guess_active_set",
-    "active_masks",
+    "active_masks", "reclassify_active_set",
 ]
 
 
@@ -85,6 +85,33 @@ def guess_active_set(l, u, y):
         eq, 0.5 * (l + u), jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
     )
     return act, jnp.where(act, b, 0.0)
+
+
+def reclassify_active_set(l, u, eq, act_low, act_up, nu, Ax_pol):
+    """One active-set iteration step from a polish result: PROMOTE rows
+    the polished x visibly violates (a truly-active degenerate row that
+    the dual-sign guess dropped reveals itself — x crosses its bound,
+    and tiny curvature amplifies the crossing to a visible size), and
+    DEMOTE active rows whose equality multiplier came back with the
+    wrong sign (forcing an actually-inactive row to its bound yields a
+    multiplier fighting the objective — the classic active-set dual
+    test).  Both failure modes were measured on the OSQP-paper
+    portfolio family's degenerate box rows
+    (scripts/portfolio_fix_probe2.py); neither is visible in the raw
+    ADMM iterate's primal OR dual.  Returns (act_low, act_up)."""
+    vtol = 1e-9 * (
+        1.0
+        + jnp.maximum(
+            jnp.where(jnp.isfinite(l), jnp.abs(l), 0.0),
+            jnp.where(jnp.isfinite(u), jnp.abs(u), 0.0),
+        )
+    )
+    pro_low = jnp.isfinite(l) & (Ax_pol < l - vtol) & ~eq
+    pro_up = jnp.isfinite(u) & (Ax_pol > u + vtol) & ~eq
+    stol = 1e-12
+    new_low = ((act_low & (nu <= stol)) | pro_low) & ~pro_up
+    new_up = ((act_up & (nu >= -stol)) | pro_up) & ~pro_low
+    return new_low, new_up
 
 
 def kkt_solve_schur_refined(
@@ -224,49 +251,42 @@ def polish_qp(
     settings: QPSettings = QPSettings(),
     delta: float = None,
     refine_steps: int = None,
+    passes: int = None,
 ) -> QPResult:
     """Polish a (possibly batched) QP result.  Shape-polymorphic: works on
     single problems (n,), (m,) and batches (B, n), (B, m).
 
-    ``delta``/``refine_steps`` default to ``settings.polish_delta`` /
-    ``settings.polish_sweeps``; explicit arguments override.
+    ``delta``/``refine_steps``/``passes`` default to
+    ``settings.polish_delta`` / ``settings.polish_sweeps`` /
+    ``settings.polish_passes``; explicit arguments override.
     """
     if delta is None:
         delta = settings.polish_delta
     if refine_steps is None:
         refine_steps = settings.polish_sweeps
+    if passes is None:
+        passes = settings.polish_passes
     # pin matmul precision for the WHOLE polish, including the accept
     # guard's KKT residuals: a bf16-decomposed guard would accept/reject
     # candidates on corrupted errors (CLAUDE.md precision rule)
     with jax.default_matmul_precision("highest"):
-        return _polish_impl(qp, result, delta, refine_steps)
+        return _polish_impl(qp, result, delta, refine_steps, passes)
 
 
-def _polish_impl(qp, result, delta, refine_steps):
+def _polish_impl(qp, result, delta, refine_steps, passes=1):
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u
     x, y, z = result.x, result.y, result.z
 
-    act, b = guess_active_set(l, u, y)
-    A_m = jnp.where(act[..., None], A, 0.0)
-
-    x_pol, nu, fail = kkt_solve_schur_refined(
-        P,
-        A_m,
-        act,
-        -q,
-        b,
-        x0=x,
-        nu0=y,
-        delta=delta,
-        sweeps=refine_steps,
-    )
-    y_pol = jnp.where(act, nu, 0.0)
-    with jax.default_matmul_precision("highest"):
-        z_pol = jnp.clip(_mv(A, x_pol), l, u)
-
-    # --- accept per problem only where the KKT error improves (lexico) ---
-    def kkt_err(xx, yy):
-        Ax = _mv(A, xx)
+    # --- per-problem KKT score for the accept guard: the max over
+    # stationarity, primal violation AND complementary-slackness
+    # violation.  Comp slack must be inside the max (not a lexicographic
+    # tie-break): on degenerate families (huber) ADMM can reach
+    # rp/rd ~ 1e-7 at a NON-fixed-point whose y is supported on inactive
+    # rows (comp slack ~ 0.8, objective 0.4 above optimal) — a
+    # lexicographic guard keyed on rp/rd first can never accept the
+    # repaired candidate there (measured, scripts/portfolio_fix_probe2
+    # follow-up) ---
+    def kkt_err(xx, yy, Ax):
         res_d = _linf(_mv(P, xx) + q + _mtv(A, yy))
         viol = jnp.maximum(
             jnp.max(jnp.where(jnp.isfinite(l), l - Ax, 0.0), axis=-1),
@@ -279,19 +299,55 @@ def _polish_impl(qp, result, delta, refine_steps):
             + jnp.where(~at_l, jnp.maximum(-yy, 0.0), 0.0),
             axis=-1,
         )
-        return jnp.maximum(res_d, viol), dsv
+        return jnp.maximum(jnp.maximum(res_d, viol), dsv)
 
-    bad_pol = jnp.isnan(x_pol).any(axis=-1) | fail
-    main_new, dsv_new = kkt_err(x_pol, y_pol)
-    main_old, dsv_old = kkt_err(x, y)
-    better = (
-        (main_new < main_old) | ((main_new <= main_old) & (dsv_new < dsv_old))
-    ) & (~bad_pol)
+    eq, act_low, act_up = active_masks(l, u, y)
+    best = (x, y, z)
+    best_score = kkt_err(x, y, _mv(A, x))
+    x_c, nu_c = x, y  # warm-start carriers across passes
+    for p in range(passes):
+        act = act_low | act_up | eq
+        b = jnp.where(
+            eq, 0.5 * (l + u), jnp.where(act_low, l, jnp.where(act_up, u, 0.0))
+        )
+        b = jnp.where(act, b, 0.0)
+        A_m = jnp.where(act[..., None], A, 0.0)
+        x_pol, nu, fail = kkt_solve_schur_refined(
+            P,
+            A_m,
+            act,
+            -q,
+            b,
+            x0=x_c,
+            nu0=nu_c,
+            delta=delta,
+            sweeps=refine_steps,
+        )
+        y_pol = jnp.where(act, nu, 0.0)
+        with jax.default_matmul_precision("highest"):
+            Ax_pol = _mv(A, x_pol)
 
-    def sel(a, bb):
-        cond = better
-        while cond.ndim < a.ndim:
-            cond = cond[..., None]
-        return jnp.where(cond, a, bb)
+        # accept per problem only where the KKT score improves (vs the
+        # best candidate so far, starting from the raw iterate)
+        bad_pol = jnp.isnan(x_pol).any(axis=-1) | fail
+        score_new = kkt_err(x_pol, y_pol, Ax_pol)
+        better = (score_new < best_score) & (~bad_pol)
 
-    return QPResult(x=sel(x_pol, x), y=sel(y_pol, y), z=sel(z_pol, z), info=result.info)
+        def sel(a, bb, cond=better):
+            while cond.ndim < a.ndim:
+                cond = cond[..., None]
+            return jnp.where(cond, a, bb)
+
+        best = (
+            sel(x_pol, best[0]),
+            sel(y_pol, best[1]),
+            sel(jnp.clip(Ax_pol, l, u), best[2]),
+        )
+        best_score = jnp.where(better, score_new, best_score)
+        if p + 1 < passes:
+            act_low, act_up = reclassify_active_set(
+                l, u, eq, act_low, act_up, y_pol, Ax_pol
+            )
+            x_c, nu_c = x_pol, y_pol
+
+    return QPResult(x=best[0], y=best[1], z=best[2], info=result.info)

@@ -134,6 +134,18 @@ class QPSettings:
     # ~delta) and the number of ideal-operator sweeps
     polish_delta: float = 1e-2
     polish_sweeps: int = 6
+    # Active-set re-solve passes.  Pass k+1 reclassifies from pass k's
+    # result: rows the polished x visibly violates are promoted to
+    # active, and active rows whose equality multiplier came back with
+    # the wrong sign are demoted (one step of classic active-set
+    # iteration per extra pass).  2 fixes DEGENERATE active sets that
+    # the dual-sign guess cannot see in the ADMM iterate — measured on
+    # the OSQP-paper portfolio family (tiny-curvature box rows, oracle
+    # multiplier ~0): err_p99 vs the long-double oracle 1.6e-4 -> 4e-8,
+    # and it also repaired lasso/svm outlier lanes
+    # (scripts/portfolio_fix_probe.py).  Each pass costs one extra
+    # factorization; latency-critical callers set 1.
+    polish_passes: int = 2
     # Ruiz equilibration sweeps (qp.scaling): 0 = off (reference
     # semantics — the reference dropped OSQP's scaling entirely).  10 is
     # OSQP's default and rescues badly-scaled problems (e.g. the huber
@@ -198,6 +210,8 @@ class QPSettings:
             raise ValueError("polish_delta must be > 0")
         if self.polish_sweeps < 1:
             raise ValueError("polish_sweeps must be >= 1")
+        if self.polish_passes < 1:
+            raise ValueError("polish_passes must be >= 1")
         if self.schedule not in ("early_exit", "fixed"):
             raise ValueError(f"schedule must be 'early_exit' or 'fixed', got {self.schedule}")
         if self.scaling < 0:

@@ -343,16 +343,78 @@ def test_polish_hyperparams_thread_through_settings():
 
     qp = random_qp_batch(batch=8, n=10, m=14, seed=21, dtype=jnp.float64)
     res = qp_solve_batch(qp, S)
-    pol6 = polish_qp(qp, res, S)
-    pol1 = polish_qp(qp, res, dataclasses.replace(S, polish_sweeps=1))
+    # pin passes=1 to isolate the sweeps knob: with >= 2 passes, the
+    # warm-started second pass converges 1- and 6-sweep runs to the same
+    # fixed point (each sweep contracts the remaining error ~1e-4 here)
+    S1 = dataclasses.replace(S, polish_passes=1)
+    pol6 = polish_qp(qp, res, S1)
+    pol1 = polish_qp(qp, res, dataclasses.replace(S1, polish_sweeps=1))
     assert not np.allclose(np.asarray(pol1.x), np.asarray(pol6.x), atol=1e-12)
 
     with pytest.raises(ValueError, match="polish_delta"):
         dataclasses.replace(S, polish_delta=0.0).validate()
     with pytest.raises(ValueError, match="polish_sweeps"):
         dataclasses.replace(S, polish_sweeps=0).validate()
+    with pytest.raises(ValueError, match="polish_passes"):
+        dataclasses.replace(S, polish_passes=0).validate()
 
     from sqp_solver_tpu.sqp import SQPSettings
 
     with pytest.raises(ValueError, match="polish_delta"):
         SQPSettings(polish_delta=-1.0).validate()
+
+
+def test_polish_pass2_repairs_degenerate_active_set():
+    """A weakly-active row (multiplier below the dual-sign tolerance) is
+    dropped by the pass-1 guess; the polished x then crosses its bound by
+    a CURVATURE-AMPLIFIED visible amount, and the second polish pass
+    promotes it back (qp.polish.reclassify_active_set).  This is the
+    OSQP-paper portfolio family's accuracy outlier reduced to its core
+    (round-4 verdict ask #5; measured decomposition in
+    scripts/portfolio_fix_probe2.py).
+
+    Construction: x0 has tiny curvature p0 and a lower bound at 0 whose
+    true multiplier 2e-5 sits BELOW ytol = 1e-5*(1+|y|_inf) once x1's
+    bound carries a large multiplier (5.0).  The unconverged iterate fed
+    to polish has a zeroed dual on row 0 (what ADMM's degenerate lanes
+    look like, scripts/portfolio_fix_probe2.py) -- so pass 1 drops the
+    row and lands at -q0/p0 = -1e-3, which the guard rejects; pass 2
+    sees the violation, promotes the row, and solves exactly.
+    """
+    import dataclasses
+
+    from sqp_solver_tpu.qp.types import QPInfo, QPResult, QuadraticProblem
+
+    B = 4
+    p0 = 0.02
+    P = jnp.tile(jnp.diag(jnp.array([p0, 1.0]))[None], (B, 1, 1))
+    q = jnp.tile(jnp.array([2e-5, 5.0])[None], (B, 1))
+    A = jnp.tile(jnp.eye(2)[None], (B, 1, 1))
+    l = jnp.zeros((B, 2))
+    u = jnp.full((B, 2), jnp.inf)
+    qp = QuadraticProblem(P=P, q=q, A=A, l=l, u=u)
+    # x* = (0, 0), y* = (-2e-5, -5); feed an eps~5e-4-converged iterate
+    # whose dual on the weakly-active row is 0 (degenerate-lane shape)
+    x_raw = jnp.tile(jnp.array([-5e-4, 1e-6])[None], (B, 1))
+    y_raw = jnp.tile(jnp.array([0.0, -5.0])[None], (B, 1))
+    z_raw = jnp.clip(jnp.einsum("bij,bj->bi", A, x_raw), l, u)
+    info = QPInfo(
+        status=jnp.zeros(B, jnp.int32), iter=jnp.full(B, 100, jnp.int32),
+        rho_updates=jnp.zeros(B, jnp.int32), rho_estimate=jnp.ones(B),
+        res_prim=jnp.full(B, 5e-4), res_dual=jnp.full(B, 5e-4),
+    )
+    raw = QPResult(x=x_raw, y=y_raw, z=z_raw, info=info)
+
+    pol1 = polish_qp(qp, raw, S, passes=1)
+    pol2 = polish_qp(qp, raw, S, passes=2)
+    x1 = np.asarray(pol1.x)
+    x2 = np.asarray(pol2.x)
+    # pass 1 alone: the dropped-row candidate (x0 = -1e-3) scores WORSE
+    # than the raw iterate, so the guard keeps raw -- err stays ~5e-4
+    assert np.all(np.abs(x1[:, 0]) > 1e-5), x1[:, 0]
+    # pass 2: violation-promoted row solves to the exact optimum
+    assert np.all(np.abs(x2[:, 0]) < 1e-7), x2[:, 0]
+    assert np.all(np.abs(x2[:, 1]) < 1e-7), x2[:, 1]
+    # and the repaired dual is the true weakly-active multiplier
+    y2 = np.asarray(pol2.y)
+    np.testing.assert_allclose(y2[:, 0], -2e-5, atol=1e-9)
