@@ -72,46 +72,82 @@ class BlockSparse:
     def dtype(self):
         return self.data.dtype
 
-    def _onehot(self, idx, num) -> jnp.ndarray:
-        """(num, nb) static selection matrix.  Gather/scatter on TPU
-        lower to slow serialized ops; with a STATIC pattern both are
-        small dense matmuls (measured at n=4096, 5% blocks: the
-        segment-sum formulation ran the whole CG solve 6.5x slower than
-        dense — one-hot matmuls remove that entirely)."""
-        oh = np.zeros((num, len(idx)), np.float32)
-        oh[np.asarray(idx), np.arange(len(idx))] = 1.0
-        return jnp.asarray(oh, self.data.dtype)
+    # The matvec is a STRIP formulation: per output block-row, the (up
+    # to) K stored tiles are laid side by side into one dense
+    # (K*bs, bs) strip, the needed x blocks are pre-gathered with a
+    # STATIC index map (one cheap take — indices are pattern data, known
+    # at trace time), and the whole matvec is ONE batched contraction
+    # einsum('rji,rj->ri').  History: a scalar segment-sum formulation
+    # ran the CG solve 6.5x slower than dense (round 4), and the
+    # one-hot gather/scatter-matmul formulation that replaced it still
+    # lost 5.3x to its dense twin — three chained small ops per matvec,
+    # each carrying fixed dispatch/layout cost, dominate at n=4096
+    # (round-4 verdict).  The strip form is a single bandwidth-bound op
+    # reading only the stored tiles (nb*bs^2*4 bytes vs n^2*4 dense).
+    def _plan(self, transpose: bool):
+        """Static per-output-block-row strip plan: (idxmap, srcmap),
+        both (nR, K) numpy int32.  idxmap[r, k] indexes the PADDED tile
+        array (nb = the all-zero pad tile); srcmap[r, k] is the input
+        block to multiply.  Cached per instance (pattern is static)."""
+        key = "_plan_t" if transpose else "_plan_n"
+        hit = getattr(self, key, None)
+        if hit is not None:
+            return hit
+        outs = self.cols if transpose else self.rows
+        srcs = self.rows if transpose else self.cols
+        n_out = (self.shape[1] if transpose else self.shape[0]) // self.bs
+        per = {}
+        for k, (o, s) in enumerate(zip(outs, srcs)):
+            per.setdefault(o, []).append((k, s))
+        K = max((len(v) for v in per.values()), default=1)
+        idxmap = np.full((n_out, K), self.nblocks, np.int32)
+        srcmap = np.zeros((n_out, K), np.int32)
+        for o, lst in per.items():
+            for j, (k, s) in enumerate(lst):
+                idxmap[o, j] = k
+                srcmap[o, j] = s
+        plan = (idxmap, srcmap)
+        object.__setattr__(self, key, plan)
+        return plan
 
-    def mv(self, x: jnp.ndarray) -> jnp.ndarray:
-        """y = M x for x (n,): one-hot gather matmul, batched tile
-        matvec, one-hot scatter matmul — all MXU-native."""
-        hp = jax.lax.Precision.HIGHEST
-        nr = self.shape[0] // self.bs
-        nc = self.shape[1] // self.bs
-        xb = x.reshape(nc, self.bs)
-        gathered = jnp.einsum(
-            "cn,cj->nj", self._onehot(self.cols, nc), xb, precision=hp
-        )  # (nb, bs)
-        prod = jnp.einsum("nij,nj->ni", self.data, gathered, precision=hp)
-        y = jnp.einsum(
-            "rn,ni->ri", self._onehot(self.rows, nr), prod, precision=hp
-        )
-        return y.reshape(self.shape[0])
+    def prepare(self, transpose: bool = False) -> jnp.ndarray:
+        """Build the traced strip array (nR, K*bs, bs) for mv
+        (``transpose=False``) or rmv.  Hot loops (the CG backend) call
+        this ONCE outside the loop and pass the result back via
+        ``prepared=`` so the gather/transpose never rides an iteration."""
+        idxmap, _ = self._plan(transpose)
+        n_out, K = idxmap.shape
+        pad = jnp.zeros((1, self.bs, self.bs), self.data.dtype)
+        data_p = jnp.concatenate([self.data, pad], axis=0)
+        tiles = jnp.take(data_p, jnp.asarray(idxmap.reshape(-1)), axis=0)
+        tiles = tiles.reshape(n_out, K, self.bs, self.bs)
+        if not transpose:
+            # y[i] = sum_j M[i, j] x[j]: contract over the tile ROW axis
+            # j — lay strips as [.., j, i] so the contraction is over the
+            # sublane-friendly middle axis
+            tiles = jnp.swapaxes(tiles, -1, -2)
+        return tiles.reshape(n_out, K * self.bs, self.bs)
 
-    def rmv(self, y: jnp.ndarray) -> jnp.ndarray:
-        """x = M' y for y (m,): same tiles, roles of rows/cols swapped."""
+    def _apply(self, v, transpose: bool, prepared=None):
         hp = jax.lax.Precision.HIGHEST
-        nr = self.shape[0] // self.bs
-        nc = self.shape[1] // self.bs
-        yb = y.reshape(nr, self.bs)
-        gathered = jnp.einsum(
-            "rn,ri->ni", self._onehot(self.rows, nr), yb, precision=hp
-        )  # (nb, bs)
-        prod = jnp.einsum("nij,ni->nj", self.data, gathered, precision=hp)
-        x = jnp.einsum(
-            "cn,nj->cj", self._onehot(self.cols, nc), prod, precision=hp
-        )
-        return x.reshape(self.shape[1])
+        _, srcmap = self._plan(transpose)
+        n_out, K = srcmap.shape
+        n_in = (self.shape[0] if transpose else self.shape[1]) // self.bs
+        strips = self.prepare(transpose) if prepared is None else prepared
+        vb = jnp.take(
+            v.reshape(n_in, self.bs), jnp.asarray(srcmap.reshape(-1)), axis=0
+        ).reshape(n_out, K * self.bs)
+        out = jnp.einsum("rji,rj->ri", strips, vb, precision=hp)
+        return out.reshape(n_out * self.bs)
+
+    def mv(self, x: jnp.ndarray, prepared=None) -> jnp.ndarray:
+        """y = M x for x (n,): static-index block gather + ONE batched
+        strip contraction (see class comment)."""
+        return self._apply(x, False, prepared)
+
+    def rmv(self, y: jnp.ndarray, prepared=None) -> jnp.ndarray:
+        """x = M' y for y (m,): same tiles, strips built per block-col."""
+        return self._apply(y, True, prepared)
 
     def scaled_gram_mv(self, w: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         """(M' diag(w) M) x without forming the Gram."""

@@ -278,7 +278,16 @@ def _cg_factor(P, A, sigma, rho_vec):
     # to the reference's Eigen::SimplicialLDLT ambition,
     # include/solvers/qp.hpp:126-129).
     diag_M = _diag(P) + sigma + _sq_col_sums(A, rho_vec)
-    return {"jacobi": jnp.maximum(diag_M, jnp.finfo(diag_M.dtype).tiny)}
+    factor = {"jacobi": jnp.maximum(diag_M, jnp.finfo(diag_M.dtype).tiny)}
+    # BlockSparse operands: build the strip arrays HERE, outside the CG
+    # loop, so per-iteration matvecs are single contractions with no
+    # gather/transpose riding the iteration (ops/block_sparse.prepare)
+    if hasattr(P, "prepare"):
+        factor["P_mv"] = P.prepare(False)
+    if hasattr(A, "prepare"):
+        factor["A_mv"] = A.prepare(False)
+        factor["A_rmv"] = A.prepare(True)
+    return factor
 
 
 def _cg_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
@@ -286,10 +295,25 @@ def _cg_solve(factor, P, A, sigma, rho_vec, rhs1, rhs2, refine_steps):
     n = rhs1.shape[0]
     dinv = 1.0 / factor["jacobi"]
 
-    def mv(v):
-        return _mv(P, v) + sigma * v + _rmv(A, rho_vec * _mv(A, v))
+    def _Pmv(v):
+        if hasattr(P, "mv"):
+            return P.mv(v, prepared=factor.get("P_mv"))
+        return _mv(P, v)
 
-    b = rhs1 + _rmv(A, rho_vec * rhs2)
+    def _Amv(v):
+        if hasattr(A, "mv"):
+            return A.mv(v, prepared=factor.get("A_mv"))
+        return _mv(A, v)
+
+    def _Armv(w):
+        if hasattr(A, "rmv"):
+            return A.rmv(w, prepared=factor.get("A_rmv"))
+        return _rmv(A, w)
+
+    def mv(v):
+        return _Pmv(v) + sigma * v + _Armv(rho_vec * _Amv(v))
+
+    b = rhs1 + _Armv(rho_vec * rhs2)
     eps = jnp.finfo(b.dtype).eps
     tol2 = (10.0 * eps) ** 2 * jnp.maximum(b @ b, eps)
 
