@@ -33,11 +33,11 @@ B, N = 1024, 32
 salt = int(time.time() * 1e3) % 100000
 
 
-def run_cfg(outers, passes, qp_iters, label):
+def run_cfg(outers, passes, qp_iters, label, ls=10):
     s = SQPSettings(
         max_iter=outers, eps_prim=1e-4, eps_dual=1e-4, termination="kkt",
         schedule="fixed", qp_impl="kernel", polish=True,
-        polish_passes=passes, line_search_max_iter=10,
+        polish_passes=passes, line_search_max_iter=ls,
         qp=QPSettings(
             alpha=1.6, eps_abs=1e-5, eps_rel=1e-5, max_iter=qp_iters,
             check_termination=10, warm_start=True, adaptive_rho=True,
@@ -81,5 +81,10 @@ def run_cfg(outers, passes, qp_iters, label):
 
 
 if __name__ == "__main__":
-    for outers, passes, qpit in ((24, 3, 50), (36, 3, 50), (48, 4, 50)):
-        run_cfg(outers, passes, qpit, "rosy")
+    import sys as _s
+
+    cfgs = ((300, 3, 200, 16),)
+    if len(_s.argv) > 1:
+        cfgs = tuple(tuple(int(v) for v in a.split(",")) for a in _s.argv[1:])
+    for outers, passes, qpit, ls in cfgs:
+        run_cfg(outers, passes, qpit, "rosy", ls=ls)
