@@ -29,6 +29,7 @@ from sqp_solver_tpu.qp.types import QPSettings
 
 N = 4096
 salt = int(time.time() * 1e3) % 100000
+CROSSOVER_ONLY = len(sys.argv) > 1 and sys.argv[1] == "crossover"
 psd = salt % 97
 d0, s0 = sparse_qp_pair(n=N, m=N, bs=128, density=0.03, seed=psd,
                         dtype=jnp.float32)
@@ -50,7 +51,7 @@ Ps = s0.P
 prepared = jax.jit(lambda: Ps.prepare(False))()
 
 x0 = jax.random.normal(jax.random.PRNGKey(salt), (N,), jnp.float32)
-for label, op in (
+for label, op in () if CROSSOVER_ONLY else (
     ("dense mv", lambda v: Pd @ v),
     ("bsr mv (derive in loop)", lambda v: Ps.mv(v)),
     ("bsr mv (prepared)", lambda v: Ps.mv(v, prepared=prepared)),
@@ -73,8 +74,9 @@ import dataclasses as _dc
 cg_cfg = QPSettings(linear_solver="cg", eps_abs=1e-4, eps_rel=1e-4,
                     max_iter=2000, check_termination=25, adaptive_rho=True)
 chol_cfg = _dc.replace(cg_cfg, linear_solver="schur_cholesky_blocked")
-rows = (("sparse-cg", cg_cfg, True), ("dense-cg", cg_cfg, False),
-        ("dense-chol-blocked", chol_cfg, False))
+rows = () if CROSSOVER_ONLY else (
+    ("sparse-cg", cg_cfg, True), ("dense-cg", cg_cfg, False),
+    ("dense-chol-blocked", chol_cfg, False))
 for label, cfg, use_sparse in rows:
     sol = jax.jit(lambda p, c=cfg: qp_solve_one(p, c))
     p0 = s0 if use_sparse else d0

@@ -243,7 +243,8 @@ def sqp_solve(
         prim_norm = alpha * _linf(p)
         dual_norm = alpha * _linf(p_lam)
 
-        failed = jnp.any(jnp.isnan(x_new)) | jnp.any(jnp.isnan(lam_new))
+        # ~isfinite, not isnan: freeze inf-bound runs too (ROADMAP r5 f5)
+        failed = jnp.any(~jnp.isfinite(x_new)) | jnp.any(~jnp.isfinite(lam_new))
         x_new = jnp.where(failed, carry.x, x_new)
         lam_new = jnp.where(failed, carry.lam, lam_new)
 

@@ -307,7 +307,11 @@ def sqp_solve_fused(
         prim_norm = alpha * _linf(p)
         dual_norm = alpha * _linf(p_lam)
 
-        bad = jnp.isnan(x_new).any(-1) | jnp.isnan(lam_new).any(-1)
+        # ~isfinite, not isnan: an under-budgeted f32 direction can push
+        # a lane through inf long before NaN appears (Rosenbrock stress
+        # family, ROADMAP r5 fact 5) — freeze the lane at the last finite
+        # iterate instead of letting it run to 1e70
+        bad = (~jnp.isfinite(x_new)).any(-1) | (~jnp.isfinite(lam_new)).any(-1)
         x_new = jnp.where((active & ~bad)[:, None], x_new, c.x)
         lam_new = jnp.where((active & ~bad)[:, None], lam_new, c.lam)
 

@@ -352,7 +352,8 @@ def sqp_solve_kernel_fused(
         prim_norm = alpha * _linf(p)
         dual_norm = alpha * _linf(p_lam)
 
-        bad = jnp.isnan(x_new).any(-1) | jnp.isnan(lam_new).any(-1)
+        # ~isfinite, not isnan: freeze inf-bound lanes too (ROADMAP r5 f5)
+        bad = (~jnp.isfinite(x_new)).any(-1) | (~jnp.isfinite(lam_new)).any(-1)
         x_new = jnp.where((active & ~bad)[:, None], x_new, c.x)
         lam_new = jnp.where((active & ~bad)[:, None], lam_new, c.lam)
 
