@@ -147,9 +147,12 @@ def kkt_solve_schur_refined(
     dtype = P.dtype
     n = P.shape[-1]
     if use_kernel is None:
+        # n <= 128: the whole-pass kernel's design envelope — at n=192
+        # Mosaic register spills blow the 127 MB VMEM cap (measured r5)
         use_kernel = (
             P.ndim == 3
             and P.shape[0] * n >= 256 * 32
+            and n <= 128
             and jax.default_backend() == "tpu"
         )
     if use_kernel:
@@ -192,6 +195,7 @@ def kkt_solve_schur_refined(
         use_kernel = (
             M.ndim == 3
             and M.shape[0] * n >= 256 * 32
+            and n <= 128  # same envelope as the whole-pass kernel (r5)
             and jax.default_backend() == "tpu"
         )
         if use_kernel:

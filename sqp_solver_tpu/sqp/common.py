@@ -292,6 +292,25 @@ def polish_nlp_t(
     from sqp_solver_tpu.ops.qp_kernel import polish_kkt_kernel
     from sqp_solver_tpu.qp.polish import guess_active_set
 
+    # The whole-pass polish kernel's design envelope is n <= 128: at
+    # n=192 (btd-nlp bench config) Mosaic's register allocator spills
+    # ~106 MB and the call exceeds the 127 MB VMEM cap outright
+    # (measured round 5).  Larger n delegates to the batch-first
+    # epilogue — same algorithm, same accept rule (parity-tested), two
+    # extra relayouts that are noise at the small batches where such n
+    # appear.
+    if x_out.shape[-1] > 128:
+        def c_lin(xx):
+            cv, Jt = c_lin_t(xx)
+            return cv, jnp.moveaxis(Jt, -1, 0)
+
+        def hess_fn(xx, ll):
+            return jnp.moveaxis(hess_fn_t(xx, ll), -1, 0)
+
+        return polish_nlp(
+            x_out, lam_out, l, u, f_lin, c_lin, hess_fn, settings
+        )
+
     def stat_of(g, Jt, ll):
         return _linf(
             g + jnp.einsum("mnb,bm->bn", Jt, ll, precision=lax.Precision.HIGHEST)
