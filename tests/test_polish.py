@@ -418,3 +418,48 @@ def test_polish_pass2_repairs_degenerate_active_set():
     # and the repaired dual is the true weakly-active multiplier
     y2 = np.asarray(pol2.y)
     np.testing.assert_allclose(y2[:, 0], -2e-5, atol=1e-9)
+
+
+def test_polish_nlp_t_delegates_above_kernel_envelope():
+    """Above n=128 the whole-pass polish kernel cannot compile (Mosaic
+    register spills exceed the 127 MB VMEM cap at n=192 — measured r5),
+    so polish_nlp_t must route to the batch-first epilogue.  The two are
+    the same algorithm; at n>128 the results must agree exactly."""
+    from sqp_solver_tpu.models.benchmark import sphere_cap_nlp_batch
+    from sqp_solver_tpu.sqp import SQPSettings
+    from sqp_solver_tpu.sqp import common
+
+    dtype = jnp.float64
+    problem, x0 = sphere_cap_nlp_batch(4, 136, seed=5, dtype=dtype,
+                                       r_range=(0.5, 1.2))
+    params = problem.params
+    l, u = problem.l, problem.u
+    x = x0 + 0.2
+    lam = jnp.ones((4, l.shape[-1]), dtype)
+
+    def f_lin(xx):
+        f = lambda x_, p: problem.objective(x_, p)
+        return jax.vmap(jax.value_and_grad(f), in_axes=(0, 0))(xx, params)
+
+    def c_lin_t(xx):
+        return problem.constraint_linearized_t(xx, params)
+
+    def c_lin(xx):
+        cv, Jt = c_lin_t(xx)
+        return cv, jnp.moveaxis(Jt, -1, 0)
+
+    def hess_t(xx, ll):
+        return problem.lagrangian_hessian_t(xx, ll, params)
+
+    def hess(xx, ll):
+        return jnp.moveaxis(hess_t(xx, ll), -1, 0)
+
+    settings = SQPSettings(polish=True, polish_passes=2, eps_prim=1e-6,
+                           eps_dual=1e-6)
+    x_a, lam_a, resc_a = common.polish_nlp(x, lam, l, u, f_lin, c_lin, hess,
+                                           settings)
+    x_b, lam_b, resc_b = common.polish_nlp_t(x, lam, l, u, f_lin, c_lin_t,
+                                             hess_t, settings)
+    np.testing.assert_array_equal(np.asarray(x_a), np.asarray(x_b))
+    np.testing.assert_array_equal(np.asarray(lam_a), np.asarray(lam_b))
+    np.testing.assert_array_equal(np.asarray(resc_a), np.asarray(resc_b))

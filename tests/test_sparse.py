@@ -154,3 +154,54 @@ class TestSparseQPSolve:
         assert int(out.info.status) in (
             QPStatus.PRIMAL_INFEASIBLE, QPStatus.MAX_ITER_EXCEEDED
         )
+
+
+class TestStripPreparation:
+    """The strip-formulation matvec (round 5): ``prepare()`` builds the
+    per-output-block-row strip array once; hot loops (the CG backend's
+    factor step) pass it back via ``prepared=`` so no gather/transpose
+    rides an iteration.  Prepared and derive-on-the-fly paths must be
+    bitwise-identical (same contraction, same operands)."""
+
+    def test_prepared_matches_unprepared(self):
+        rng = np.random.default_rng(9)
+        bs = 32
+        M = np.zeros((96, 64))
+        for i, j in ((0, 0), (0, 1), (1, 1), (2, 0)):
+            M[i * bs:(i + 1) * bs, j * bs:(j + 1) * bs] = rng.normal(
+                size=(bs, bs))
+        S = from_dense(M, bs=bs)
+        x = jnp.asarray(rng.normal(size=64))
+        y = jnp.asarray(rng.normal(size=96))
+        pf = S.prepare(False)
+        pt = S.prepare(True)
+        np.testing.assert_array_equal(
+            np.asarray(S.mv(x, prepared=pf)), np.asarray(S.mv(x)))
+        np.testing.assert_array_equal(
+            np.asarray(S.rmv(y, prepared=pt)), np.asarray(S.rmv(y)))
+        # and both match the dense operator
+        np.testing.assert_allclose(np.asarray(S.mv(x)), M @ np.asarray(x),
+                                   rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(S.rmv(y)), M.T @ np.asarray(y),
+                                   rtol=1e-10)
+
+    def test_cg_factor_carries_strips(self):
+        """The CG backend prepares strip arrays at FACTOR time — outside
+        the iteration loop — for BlockSparse operands."""
+        from sqp_solver_tpu.ops.linear_solver import get_linear_solver
+
+        dense, sparse = sparse_qp_pair(
+            n=128, m=128, bs=32, density=0.4, seed=2, dtype=jnp.float64
+        )
+        solver = get_linear_solver("cg")
+        rho = jnp.full(128, 0.1)
+        fac = solver.factor(sparse.P, sparse.A, 1e-6, rho)
+        assert "P_mv" in fac and "A_mv" in fac and "A_rmv" in fac
+        # and the factored solve agrees with the dense twin's
+        fac_d = solver.factor(dense.P, dense.A, 1e-6, rho)
+        rhs1 = jnp.asarray(np.random.default_rng(3).normal(size=128))
+        rhs2 = jnp.asarray(np.random.default_rng(4).normal(size=128))
+        xs = solver.solve(fac, sparse.P, sparse.A, 1e-6, rho, rhs1, rhs2, 0)
+        xd = solver.solve(fac_d, dense.P, dense.A, 1e-6, rho, rhs1, rhs2, 0)
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xd),
+                                   atol=1e-9, rtol=1e-9)
