@@ -1634,6 +1634,12 @@ def qp_solve_kernel(
     factorization + band sweeps inside the same epoch/chunk machinery).
     """
     settings.validate()
+    if settings.check_comp_slack:
+        raise ValueError(
+            "check_comp_slack is not supported on the whole-solve kernel "
+            "tiers (termination is evaluated in-kernel); use the fused or "
+            "per-problem tier"
+        )
     if settings.linear_solver == "schur_block_tridiag":
         from sqp_solver_tpu.ops.qp_kernel_btd import qp_solve_kernel_btd
 

@@ -416,6 +416,12 @@ def qp_solve_kernel_btd(
     :func:`btd_internal_block` for the sublane-aligned re-blocking.
     """
     settings.validate()
+    if settings.check_comp_slack:
+        raise ValueError(
+            "check_comp_slack is not supported on the whole-solve kernel "
+            "tiers (termination is evaluated in-kernel); use the fused or "
+            "per-problem tier"
+        )
     if jax.default_backend() != "tpu":
         interpret = True
     P, q, A, l, u = qp.P, qp.q, qp.A, qp.l, qp.u

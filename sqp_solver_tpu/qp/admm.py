@@ -276,6 +276,22 @@ def qp_solve(
             done = (res_prim <= eps_abs + eps_rel * max_Ax_z) & (
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )
+            if settings.check_comp_slack:
+                # y supported on interior rows = not a fixed point (see
+                # QPSettings.check_comp_slack); z is the PROJECTED
+                # iterate, so "at bound" is exact up to the row scale
+                # z is the PROJECTED iterate: clamped rows sit EXACTLY at the
+                # bound, so the at-bound test can be razor thin (a loose
+                # eps_abs-wide band hides the violation in scaled space
+                # — measured)
+                btol = 64.0 * jnp.finfo(z.dtype).eps
+                at_l = z <= l + btol * (1.0 + jnp.abs(l))
+                at_u = z >= u - btol * (1.0 + jnp.abs(u))
+                dsv = jnp.max(
+                    jnp.where(~at_u, jnp.maximum(y, 0.0), 0.0)
+                    + jnp.where(~at_l, jnp.maximum(-y, 0.0), 0.0)
+                )
+                done = done & (dsv <= eps_abs + eps_rel * _linf(y))
             if settings.verbose:
                 obj = 0.5 * hdot(x, _opmv(P, x)) + hdot(q, x)
                 jax.debug.print(

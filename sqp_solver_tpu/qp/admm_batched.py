@@ -354,6 +354,25 @@ def qp_solve_fused(
             conv = (res_prim <= eps_abs + eps_rel * max_Ax_z) & (
                 res_dual <= eps_abs + eps_rel * max_Px_ATy_q
             )
+            if settings.check_comp_slack:
+                # see QPSettings.check_comp_slack (per-problem tier has
+                # the same term; z = s[:, n:] is the projected iterate)
+                z_b, y_b = s[:, n:], yp[:, n:]
+                # z is the PROJECTED iterate: clamped rows sit EXACTLY at the
+                # bound, so the at-bound test can be razor thin (a loose
+                # eps_abs-wide band hides the violation in scaled space
+                # — measured)
+                btol = 64.0 * jnp.finfo(z_b.dtype).eps
+                at_l = z_b <= l + btol * (1.0 + jnp.abs(l))
+                at_u = z_b >= u - btol * (1.0 + jnp.abs(u))
+                dsv = jnp.max(
+                    jnp.where(~at_u, jnp.maximum(y_b, 0.0), 0.0)
+                    + jnp.where(~at_l, jnp.maximum(-y_b, 0.0), 0.0),
+                    axis=-1,
+                )
+                conv = conv & (
+                    dsv <= eps_abs + eps_rel * jnp.max(jnp.abs(y_b), axis=-1)
+                )
             c = c._replace(done=c.done | (active & conv))
             if settings.verbose:
                 # batched analog of the reference's per-check iteration

@@ -332,6 +332,25 @@ def _rescore_impl(problem, result, settings):
         jnp.maximum(linf(Px), linf(ATy)), linf(q)
     )
     solved = (res_prim <= eps_prim) & (res_dual <= eps_dual)
+    if settings.check_comp_slack:
+        # TRUE comp-slack violation, original coordinates.  This must be
+        # scored HERE, not inside the scaled loop: on degenerate families
+        # (huber) the scaled-space violation is sub-threshold while
+        # unscaling amplifies it ~1e4x (measured round 5) — exactly the
+        # same reason rp/rd are re-scored unscaled.  z is clipped to the
+        # bounds on output, so "at bound" is a thin test.
+        l_, u_ = problem.l, problem.u
+        btol = 64.0 * jnp.finfo(z.dtype).eps
+        at_l = z <= l_ + btol * (1.0 + jnp.abs(l_))
+        at_u = z >= u_ - btol * (1.0 + jnp.abs(u_))
+        dsv = jnp.max(
+            jnp.where(~at_u, jnp.maximum(y, 0.0), 0.0)
+            + jnp.where(~at_l, jnp.maximum(-y, 0.0), 0.0),
+            axis=-1,
+        )
+        solved = solved & (
+            dsv <= settings.eps_abs + settings.eps_rel * linf(y)
+        )
     old = result.info.status
     # NUMERICAL_ISSUES and the infeasibility certificates pass through:
     # a certificate of the scaled problem certifies the original (the

@@ -134,6 +134,24 @@ class QPSettings:
     # ~delta) and the number of ideal-operator sweeps
     polish_delta: float = 1e-2
     polish_sweeps: int = 6
+    # OPT-IN third termination term: complementary-slackness violation
+    # (max over rows of y+ on rows not at their upper bound + y- on rows
+    # not at their lower bound) <= eps_abs + eps_rel*|y|_inf.  OSQP and
+    # the reference terminate on rp/rd alone — on degenerate families
+    # (huber) ADMM can reach rp/rd ~ 1e-7 at a NON-fixed-point whose y
+    # is supported on interior rows (objective 0.4 above optimal,
+    # measured round 5) and the rp/rd criterion declares the lane
+    # SOLVED there.  The flag adds the term to the in-loop criterion
+    # (per-problem + fused tiers) AND to the true-residual status
+    # rescore after a scaled solve (qp.scaling.rescore) — the latter is
+    # where it bites under Ruiz scaling, because the scaled-space
+    # violation is sub-threshold while unscaling amplifies it ~1e4x
+    # (measured).  A lane the polish repairs keeps SOLVED; an
+    # unrepaired pseudo-converged lane reports MAX_ITER_EXCEEDED
+    # instead of a false SOLVED.  Default off = reference semantics.
+    # The whole-solve kernel tiers evaluate termination in-kernel and
+    # reject the flag.
+    check_comp_slack: bool = False
     # Active-set re-solve passes.  Pass k+1 reclassifies from pass k's
     # result: rows the polished x visibly violates are promoted to
     # active, and active rows whose equality multiplier came back with

@@ -295,3 +295,74 @@ class TestSQPInnerScaling:
         assert not np.isnan(np.asarray(res.x)).any()
         assert (st == 3).sum() == 0
         assert (st == 0).sum() >= 4
+
+
+class TestCompSlackRescore:
+    """QPSettings.check_comp_slack (round 5): on degenerate families the
+    rp/rd-only criterion can declare SOLVED at a non-fixed-point whose y
+    is supported on interior rows (huber: objective up to 0.4 above
+    optimal at rp/rd ~1e-7).  The flag scores the TRUE comp-slack
+    violation at the unscaled rescore (scaled-space violations are
+    sub-threshold — unscaling amplifies ~1e4x, measured) and demotes
+    such lanes to MAX_ITER_EXCEEDED instead of a false SOLVED."""
+
+    def _solve(self, flag):
+        import dataclasses
+
+        from sqp_solver_tpu.models import families as fam
+        from sqp_solver_tpu.parallel.batch import qp_solve_batch
+
+        s = QPSettings(
+            alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=300,
+            check_termination=25, adaptive_rho=True,
+            adaptive_rho_interval=50, polish=True, scaling=10,
+            schedule="fixed", check_comp_slack=flag,
+        )
+        prob = jax.jit(
+            lambda k: fam.huber_qp_batch_device(k, 128, 8, 16)
+        )(jax.random.PRNGKey(7))
+        return prob, qp_solve_batch(prob, s, impl="fused")
+
+    @staticmethod
+    def _dsv(prob, res):
+        z = np.asarray(res.z, np.float64)
+        y = np.asarray(res.y, np.float64)
+        l = np.asarray(prob.l, np.float64)
+        u = np.asarray(prob.u, np.float64)
+        # unscaled z matches its bound only to f32 roundoff — same
+        # at-bound band as the production rescore (qp.scaling)
+        btol = 64.0 * np.finfo(np.float32).eps
+        at_l = z <= l + btol * (1.0 + np.abs(l))
+        at_u = z >= u - btol * (1.0 + np.abs(u))
+        return (
+            np.where(~at_u, np.maximum(y, 0.0), 0.0)
+            + np.where(~at_l, np.maximum(-y, 0.0), 0.0)
+        ).max(axis=1)
+
+    def test_flag_eliminates_false_solved(self):
+        prob, res0 = self._solve(False)
+        dsv0 = self._dsv(prob, res0)
+        solved0 = np.asarray(res0.info.status) == 0
+        # the phenomenon exists: without the flag, some SOLVED lane
+        # grossly violates complementary slackness
+        assert (dsv0[solved0] > 1e-2).any(), dsv0[solved0].max()
+
+        prob, res1 = self._solve(True)
+        dsv1 = self._dsv(prob, res1)
+        solved1 = np.asarray(res1.info.status) == 0
+        ytol = 1e-4 * (1.0 + np.abs(np.asarray(res1.y)).max(axis=1))
+        assert (dsv1[solved1] <= 1.01 * ytol[solved1]).all(), dsv1[solved1].max()
+        # the flag only demotes statuses, never changes iterates
+        assert solved1.sum() < solved0.sum()
+
+    def test_kernel_tier_rejects_flag(self):
+        import dataclasses
+
+        from sqp_solver_tpu.models.mpc import random_qp_batch
+        from sqp_solver_tpu.ops.qp_kernel import qp_solve_kernel
+
+        qp = random_qp_batch(batch=8, n=8, m=10, seed=1, dtype=jnp.float32)
+        s = QPSettings(max_iter=50, check_termination=25,
+                       check_comp_slack=True)
+        with pytest.raises(ValueError, match="check_comp_slack"):
+            qp_solve_kernel(qp, s)
