@@ -91,6 +91,8 @@ _SLOW_TESTS = {
     "test_sparse.py::TestSparseQPSolve",
     "test_families_device.py",  # long-budget device twins + oracle
     "test_qp.py::TestLinearSolverHardening::test_kkt_ldlt_solves_equality_heavy_f32",
+    "test_scaling.py::TestCompSlackRescore::test_flag_eliminates_false_solved",
+    "test_sparse.py::TestStripPreparation::test_cg_factor_carries_strips",
 }
 
 _DEVICE_TESTS = {
