@@ -272,7 +272,15 @@ def solve_with_scaling(inner_solve, qp, settings, state=None) -> QPResult:
     import dataclasses as _dc
 
     scaled, s = ruiz_equilibrate(qp, settings.scaling)
-    inner = _dc.replace(settings, scaling=0, polish=False)
+    # check_comp_slack is stripped from the INNER solve: in scaled space
+    # the violation is sub-threshold (unscaling amplifies ~1e4x —
+    # measured r5), so the in-loop term is useless there, and stripping
+    # it lets the whole-solve kernel tiers (which reject the flag — they
+    # terminate in-kernel) run under this pipeline.  The TRUE check
+    # happens in rescore() below, on original coordinates, after polish.
+    inner = _dc.replace(
+        settings, scaling=0, polish=False, check_comp_slack=False
+    )
     st = None if state is None else scale_state(state, s)
     res = unscale_result(inner_solve(scaled, inner, st), s)
     if settings.polish:

@@ -366,3 +366,30 @@ class TestCompSlackRescore:
                        check_comp_slack=True)
         with pytest.raises(ValueError, match="check_comp_slack"):
             qp_solve_kernel(qp, s)
+
+    def test_kernel_tier_supported_under_scaling(self):
+        """Under the scaling pipeline the flag is stripped from the inner
+        solve (the scaled-space violation is sub-threshold anyway) and
+        applied at the unscaled rescore — so the whole-solve kernel tier
+        works with check_comp_slack, and its SOLVED lanes pass the true
+        comp-slack bar too."""
+        import dataclasses
+
+        from sqp_solver_tpu.models import families as fam
+        from sqp_solver_tpu.parallel.batch import qp_solve_batch
+
+        s = QPSettings(
+            alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=300,
+            check_termination=25, adaptive_rho=True,
+            adaptive_rho_interval=50, polish=True, scaling=10,
+            schedule="fixed", check_comp_slack=True,
+        )
+        prob = jax.jit(
+            lambda k: fam.huber_qp_batch_device(k, 32, 8, 16)
+        )(jax.random.PRNGKey(7))
+        res = qp_solve_batch(prob, s, impl="kernel")
+        solved = np.asarray(res.info.status) == 0
+        assert solved.any()
+        dsv = self._dsv(prob, res)
+        ytol = 1e-4 * (1.0 + np.abs(np.asarray(res.y)).max(axis=1))
+        assert (dsv[solved] <= 1.01 * ytol[solved]).all(), dsv[solved].max()
