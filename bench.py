@@ -849,7 +849,7 @@ def main():
         # program: per-step solved fraction and the fleet's position RMS
         # (the controller must actually regulate the plants).
         from sqp_solver_tpu.models.mpc import _double_integrator_condensed
-        from sqp_solver_tpu.qp.types import QPState
+        from sqp_solver_tpu.qp.types import QPState, QuadraticProblem
 
         Bs_, Hs_, Ks_ = 4096, 16, 10
         dts = 0.1
