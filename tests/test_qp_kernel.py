@@ -159,3 +159,75 @@ class TestSpdInverseKernel:
         _, fail = spd_inverse_kernel(jnp.moveaxis(jnp.asarray(M), 0, -1))
         fail = np.asarray(fail)
         assert fail[1] > 0 and fail[0] == 0
+
+
+class TestScanChainedWarmStarts:
+    """The sustained-MPC bench leg chains K warm-started kernel-tier
+    solves inside one lax.scan, carrying QPState between steps.  This
+    locks that contract: QPState must be a valid scan carry for the
+    kernel tier, and warm-started steps must keep solving.  (CPU runs
+    the kernel in interpret mode — the contract is structural.)"""
+
+    def test_qpstate_is_a_scan_carry(self):
+        import jax
+
+        from sqp_solver_tpu.models.mpc import _double_integrator_condensed
+        from sqp_solver_tpu.parallel.batch import qp_solve_batch
+        from sqp_solver_tpu.qp.types import (
+            QPSettings, QPState, QuadraticProblem,
+        )
+
+        B, H, K, dt = 8, 4, 3, 0.1
+        Sx, Su = _double_integrator_condensed(H, dt)
+        P1 = jnp.asarray(Su[:, 0, :].T @ Su[:, 0, :] + 0.1 * np.eye(H),
+                         jnp.float32)
+        A1 = jnp.asarray(np.concatenate([np.eye(H), Su[:, 1, :]], axis=0),
+                         jnp.float32)
+        Spx_x = jnp.asarray(Sx[:, 0, :].T, jnp.float32)
+        Spx_u = jnp.asarray(Su[:, 0, :], jnp.float32)
+        Svx_x = jnp.asarray(Sx[:, 1, :].T, jnp.float32)
+        Ad = jnp.asarray([[1.0, dt], [0.0, 1.0]], jnp.float32)
+        Bd = jnp.asarray([[0.5 * dt * dt], [dt]], jnp.float32)
+        s = QPSettings(
+            alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=200,
+            check_termination=25, adaptive_rho=True,
+            adaptive_rho_interval=50, schedule="fixed",
+        )
+
+        def rollout(x0):
+            qs0 = QPState(
+                x=jnp.zeros((B, H), jnp.float32),
+                z=jnp.zeros((B, 2 * H), jnp.float32),
+                y=jnp.zeros((B, 2 * H), jnp.float32),
+            )
+
+            def step(carry, _):
+                st_, qs_ = carry
+                qv = (st_ @ Spx_x) @ Spx_u
+                voff = st_ @ Svx_x
+                lv = jnp.concatenate(
+                    [jnp.full((B, H), -2.0), -1.5 - voff], axis=1)
+                uv = jnp.concatenate(
+                    [jnp.full((B, H), 2.0), 1.5 - voff], axis=1)
+                qp = QuadraticProblem(
+                    P=jnp.broadcast_to(P1, (B, H, H)), q=qv,
+                    A=jnp.broadcast_to(A1, (B, 2 * H, H)), l=lv, u=uv,
+                )
+                r = qp_solve_batch(qp, s, state=qs_, impl="kernel")
+                nxt = st_ @ Ad.T + r.x[:, 0][:, None] * Bd[:, 0]
+                return (nxt, r.state), (
+                    jnp.mean((r.info.status == 0).astype(jnp.float32)),
+                    jnp.sqrt(jnp.mean(nxt[:, 0] ** 2)),
+                )
+
+            _, ys = jax.lax.scan(step, (x0, qs0), None, length=K)
+            return ys
+
+        x0 = jax.random.uniform(
+            jax.random.PRNGKey(3), (B, 2), jnp.float32, -1.0, 1.0)
+        solved, pos = jax.jit(rollout)(x0)
+        solved = np.asarray(solved)
+        pos = np.asarray(pos)
+        assert (solved == 1.0).all(), solved
+        # the controller regulates: fleet position RMS decreases
+        assert pos[-1] < pos[0], pos

@@ -393,3 +393,25 @@ class TestCompSlackRescore:
         dsv = self._dsv(prob, res)
         ytol = 1e-4 * (1.0 + np.abs(np.asarray(res.y)).max(axis=1))
         assert (dsv[solved] <= 1.01 * ytol[solved]).all(), dsv[solved].max()
+
+    def test_vmap_tier_flag(self):
+        """The per-problem tier (vmapped) shares the same in-loop term and
+        rescore demotion: no SOLVED lane may violate true comp slack."""
+        from sqp_solver_tpu.models import families as fam
+        from sqp_solver_tpu.parallel.batch import qp_solve_batch
+
+        s = QPSettings(
+            alpha=1.6, eps_abs=1e-4, eps_rel=1e-4, max_iter=300,
+            check_termination=25, adaptive_rho=True,
+            adaptive_rho_interval=50, polish=True, scaling=10,
+            schedule="fixed", check_comp_slack=True,
+        )
+        prob = jax.jit(
+            lambda k: fam.huber_qp_batch_device(k, 32, 8, 16)
+        )(jax.random.PRNGKey(7))
+        res = qp_solve_batch(prob, s, impl="vmap")
+        solved = np.asarray(res.info.status) == 0
+        assert solved.any()
+        dsv = self._dsv(prob, res)
+        ytol = 1e-4 * (1.0 + np.abs(np.asarray(res.y)).max(axis=1))
+        assert (dsv[solved] <= 1.01 * ytol[solved]).all(), dsv[solved].max()
