@@ -9,6 +9,7 @@ from sqp_solver_tpu.qp.classify import (
     rho_vec_from_type,
 )
 from sqp_solver_tpu.qp.scaling import Scaling, ruiz_equilibrate
+from sqp_solver_tpu.qp.sequence import qp_solve_sequence
 from sqp_solver_tpu.qp.types import (
     QPInfo,
     QPResult,
@@ -21,6 +22,7 @@ from sqp_solver_tpu.qp.types import (
 __all__ = [
     "qp_solve",
     "qp_solve_diff",
+    "qp_solve_sequence",
     "QPSolver",
     "QuadraticProblem",
     "QPSettings",
