@@ -849,7 +849,7 @@ def main():
         # program: per-step solved fraction and the fleet's position RMS
         # (the controller must actually regulate the plants).
         from sqp_solver_tpu.models.mpc import _double_integrator_condensed
-        from sqp_solver_tpu.qp.types import QPState, QuadraticProblem
+        from sqp_solver_tpu.qp.types import QuadraticProblem
 
         Bs_, Hs_, Ks_ = 4096, 16, 10
         dts = 0.1
@@ -871,33 +871,34 @@ def main():
             adaptive_rho_interval=50, schedule="fixed",
         )
 
-        def rollout_s(x0):
-            qp_state0 = QPState(
-                x=jnp.zeros((Bs_, Hs_), jnp.float32),
-                z=jnp.zeros((Bs_, 2 * Hs_), jnp.float32),
-                y=jnp.zeros((Bs_, 2 * Hs_), jnp.float32),
-            )
+        # the library serving API (qp.sequence.qp_solve_sequence) IS the
+        # measured path — the bench dogfoods it rather than hand-rolling
+        # the scan (semantics pinned equal in tests/test_sequence.py)
+        from sqp_solver_tpu.qp import qp_solve_sequence
 
-            def step(carry, _):
-                st_, qs_ = carry
+        def rollout_s(x0):
+            def make_qp(st_):
                 qv_ = (st_ @ Spx_x) @ Spx_u
                 voff = st_ @ Svx_x
                 lv = jnp.concatenate(
                     [jnp.full((Bs_, Hs_), -2.0), -1.5 - voff], axis=1)
                 uv = jnp.concatenate(
                     [jnp.full((Bs_, Hs_), 2.0), 1.5 - voff], axis=1)
-                qp_ = QuadraticProblem(
+                return QuadraticProblem(
                     P=jnp.broadcast_to(Pm, (Bs_, Hs_, Hs_)), q=qv_,
                     A=jnp.broadcast_to(Am, (Bs_, 2 * Hs_, Hs_)), l=lv, u=uv,
                 )
-                r_ = qp_solve_batch(qp_, mpc_settings, state=qs_, impl="kernel")
+
+            def advance(st_, r_):
                 nxt = st_ @ Ad_s.T + r_.x[:, 0][:, None] * Bd_s[:, 0]
-                return (nxt, r_.state), (
+                return nxt, (
                     jnp.mean((r_.info.status == 0).astype(jnp.float32)),
                     jnp.sqrt(jnp.mean(nxt[:, 0] ** 2)),
                 )
 
-            (_, _), ys_ = jax.lax.scan(step, (x0, qp_state0), None, length=Ks_)
+            ys_, _, _ = qp_solve_sequence(
+                make_qp, advance, x0, Ks_, mpc_settings, impl="kernel"
+            )
             return ys_
 
         run_s = jax.jit(rollout_s)
