@@ -927,6 +927,116 @@ def main():
         )
         recap(f"sustainedMPC {rate_s/1e6:.2f}M/s K{Ks_}")
 
+    with leg("sustained-nlp"):
+        # ---- supplementary: SUSTAINED NONLINEAR serving (sqp_solve_sequence) ----
+        # The nonlinear twin of the sustained-mpc row, through the library
+        # serving API sqp.sequence.sqp_solve_sequence (semantics pinned in
+        # tests/test_sqp_sequence.py): ONE cold 3-outer solve of the
+        # headline's sphere-cap batch, then K warm steps at 1 outer +
+        # 2 polish passes each, every problem's cap radius shrinking 2%
+        # per step (small perturbations — the receding-horizon regime;
+        # reference serving = one host-side solve() per step,
+        # src/sqp.cpp:13-41).  ALL inside one compiled program, so the
+        # relay dispatch floor is paid once per K+1 solves.  Validation:
+        # per-warm-step solved fraction inside the timed program, plus an
+        # independent f64 KKT certification of the LAST warm step (its
+        # problem rebuilt from the final carry) at the reference's own
+        # eps 1e-4 — no solver code on the scoring path.
+        import dataclasses as _dcn
+
+        from sqp_solver_tpu.sqp import sqp_solve_sequence
+        from sqp_solver_tpu.sqp.types import NonlinearProblem as _NLP
+
+        Kn_ = 8
+        warm_settings = _dcn.replace(settings, max_iter=1)
+
+        def nlp_objective(x, params):
+            del params
+            return -jnp.sum(x)
+
+        def nlp_constraint(x, params):
+            del params
+            return jnp.concatenate([jnp.array([x @ x]), x])
+
+        def nlp_constraint_linearized_t(x, params):
+            del params
+            Bx, nx = x.shape
+            cv = jnp.concatenate(
+                [jnp.sum(x * x, axis=1, keepdims=True), x], axis=1)
+            eye_t = jnp.broadcast_to(
+                jnp.eye(nx, dtype=x.dtype)[:, :, None], (nx, nx, Bx))
+            return cv, jnp.concatenate([2.0 * x.T[None, :, :], eye_t], axis=0)
+
+        def nlp_lagrangian_hessian_t(x, lam, params):
+            del params
+            nx = x.shape[1]
+            return jnp.eye(nx, dtype=x.dtype)[:, :, None] * (
+                2.0 * lam[:, 0])[None, None, :]
+
+        def nlp_make(r):
+            lv = jnp.zeros((B, N + 1), jnp.float32)
+            uv = jnp.concatenate(
+                [(r**2)[:, None], jnp.ones((B, N), jnp.float32)], axis=1)
+            prob = _NLP(
+                l=lv, u=uv, params=r,
+                objective=nlp_objective, constraint=nlp_constraint,
+                constraint_linearized_t=nlp_constraint_linearized_t,
+                lagrangian_hessian_t=nlp_lagrangian_hessian_t,
+            )
+            return prob, jnp.full((B, N), 0.25, jnp.float32)
+
+        def nlp_advance(r, res_):
+            return 0.98 * r, jnp.mean(
+                (res_.info.status == 0).astype(jnp.float32))
+
+        def nlp_serve(r0):
+            prob0, x00 = nlp_make(r0)
+            res0 = sqp_solve_batch(prob0, x00, None, settings, impl="fused")
+            r1, _ = nlp_advance(r0, res0)
+            fr, carry_f, warm_f = sqp_solve_sequence(
+                nlp_make, nlp_advance, r1, Kn_, warm_settings, impl="fused",
+                warm0=(res0.x, res0.lam),
+            )
+            return fr, carry_f, warm_f
+
+        run_nseq = jax.jit(nlp_serve)
+        sqn_ = float(np.sqrt(N))
+
+        def nlp_r0(key):
+            return jax.random.uniform(
+                key, (B,), jnp.float32, 0.55 * sqn_, 0.9 * sqn_)
+
+        _ = np.asarray(run_nseq(nlp_r0(jax.random.PRNGKey(salt % 65521)))[0])
+        ts_nq = []
+        for rep in (1, 2, 3):
+            r0_ = nlp_r0(jax.random.PRNGKey(salt + 16384 + rep))
+            jax.block_until_ready(r0_)
+            t0 = time.perf_counter()
+            fr_nq, carry_nq, warm_nq = run_nseq(r0_)
+            sf_nq = np.asarray(fr_nq)
+            ts_nq.append(time.perf_counter() - t0)
+        t_nq = min(ts_nq)
+
+        r_last = np.asarray(carry_nq, np.float64) / 0.98
+        xs_nq = np.asarray(warm_nq[0], np.float64)
+        lam_nq = np.asarray(warm_nq[1], np.float64)
+        st_nq = -1.0 + 2.0 * lam_nq[:, 0:1] * xs_nq + lam_nq[:, 1:]
+        dr_nq = np.abs(st_nq).max(axis=1)
+        pv_nq = np.maximum(np.sum(xs_nq * xs_nq, axis=1) - r_last**2, 0.0)
+        pv_nq = np.maximum(
+            pv_nq, np.maximum(xs_nq - 1.0, -xs_nq).max(axis=1))
+        cert_nq = float(np.mean((dr_nq <= 1e-4) & (pv_nq <= 1e-4)))
+        rate_nq = (Kn_ + 1) * B / t_nq
+        log(
+            f"sustained NLP serving (sqp_solve_sequence): 1 cold + {Kn_} "
+            f"warm steps x B={B} n={N} in ONE program: {t_nq*1e3:.1f}ms -> "
+            f"{rate_nq:.0f} solves/s sustained; solved_min="
+            f"{sf_nq.min():.3f} per warm step; last-step independent f64 "
+            f"KKT cert@1e-4={cert_nq:.3f} (dr_p99={np.percentile(dr_nq,99):.1e} "
+            f"pv_p99={np.percentile(pv_nq,99):.1e})"
+        )
+        recap(f"sustainedNLP {rate_nq/1e3:.0f}k/s K{Kn_} cert={cert_nq:.2f}")
+
     with leg("families"):
         # ---- supplementary: OSQP-paper families (untuned breadth) ---------------
         # The five problem classes the reference re-implements OSQP for
